@@ -1,0 +1,168 @@
+"""Typed configuration for the whole framework.
+
+The torch reference scatters its configuration across per-script argparse
+namespaces (reference: test_field_retrieval_mnist.py:39-62) with train-only
+fields appearing ad-hoc on classes (reference: utils/Forward_model.py:45,50).
+Here everything lives in one tree of frozen dataclasses that serializes to
+JSON alongside every run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+
+@dataclass(frozen=True)
+class PhysicsConfig:
+    """Optical constants of the imaging system.
+
+    Defaults mirror the MNIST demo of the reference
+    (test_field_retrieval_mnist.py:56-60): 532 nm laser, 1.5 µm pixels,
+    distances carried in millimetres with identity normalization.
+    """
+
+    wavelength: float = 532e-9          # metres
+    pixel_size: float = 1.5e-6          # metres
+    phase_normalize: float = 1.0        # multiplier applied to phase maps
+    distance_normalize: float = 1.0     # d_metres = (d + const) * normalize * 1e-3
+    distance_normalize_constant: float = 0.0
+    pad_factor: int = 2                 # replicate-pad factor inside ASM
+
+    def to_metres(self, d):
+        """De-normalize a distance (network units -> metres)."""
+        return (d + self.distance_normalize_constant) * self.distance_normalize * 1e-3
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the style-transfer network."""
+
+    image_size: int = 128
+    n_enc_layers: int = 4               # encoder taps relu1_1..relu4_1
+    style_channels: int = 512           # channels at the deepest tap
+    decoder_out_channels: int = 2       # [amplitude, phase]
+    distance_hidden: int = 1024         # width of the distance MLP trunk
+    disc_conv_dim: int = 64
+    disc_repeat_num: int = 6
+    disc_class_dim: int = 5
+    dtype: str = "float32"              # compute dtype for the conv stack
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Hologram synthesis / dataset configuration."""
+
+    batch_size: int = 8
+    image_size: int = 128
+    digit_pad: int = 32                 # 64x64 object padded to 128x128
+    amplitude: float = 0.6              # constant object amplitude
+    style_distances: Sequence[float] = (0.2,)           # mm (network units)
+    content_distances: Sequence[float] = (0.4, 0.5, 0.6, 0.7, 0.8)
+    translate_frac: float = 0.1         # random-translate augmentation
+    flip: bool = True
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization settings for minting checkpoints."""
+
+    iterations: int = 20000
+    lr: float = 1e-4
+    lr_decay: float = 5e-5
+    content_weight: float = 1.0
+    style_weight: float = 10.0
+    physics_weight: float = 10.0
+    distance_weight: float = 10.0
+    supervised_weight: float = 10.0      # direct field supervision (synthetic data)
+    tv_weight: float = 0.0
+    adv_weight: float = 0.0              # PatchGAN adversarial term
+    checkpoint_every: int = 5000
+    log_every: int = 100
+    checkpoint_dir: str = "checkpoints"
+    dp_axis: str = "data"               # mesh axis name for batch data-parallel
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation / reporting settings."""
+
+    save_dir: str = "output"
+    exp_name: str = "MNIST_test"
+    save_ext: str = ".png"
+    alpha: float = 1.0
+    unknown_distance: bool = True
+    save_montages: bool = True
+    report_jsonl: bool = True
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """Top-level bundle, one per run."""
+
+    name: str = "mnist"
+    physics: PhysicsConfig = field(default_factory=PhysicsConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "ExperimentConfig":
+        def build(tp, sub):
+            if sub is None:
+                return tp()
+            names = {f.name for f in dataclasses.fields(tp)}
+            return tp(**{k: v for k, v in sub.items() if k in names})
+
+        return cls(
+            name=d.get("name", "mnist"),
+            physics=build(PhysicsConfig, d.get("physics")),
+            model=build(ModelConfig, d.get("model")),
+            data=build(DataConfig, d.get("data")),
+            train=build(TrainConfig, d.get("train")),
+            eval=build(EvalConfig, d.get("eval")),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "ExperimentConfig":
+        return cls.from_dict(json.loads(s))
+
+
+# ---------------------------------------------------------------------------
+# Canonical experiment presets (the reference's three style domains).
+# ---------------------------------------------------------------------------
+
+def mnist_config() -> ExperimentConfig:
+    """The bundled MNIST demo (reference: test_field_retrieval_mnist.py defaults)."""
+    return ExperimentConfig(name="mnist")
+
+
+def polystyrene_config() -> ExperimentConfig:
+    """Polystyrene-bead experimental domain (distances parsed from .mat trees,
+    reference: utils/Data_loader.py:89-102)."""
+    return ExperimentConfig(
+        name="polystyrene_bead",
+        data=DataConfig(
+            style_distances=(8.0,),
+            content_distances=tuple(float(d) for d in range(5, 21)),
+        ),
+    )
+
+
+def red_blood_cell_config() -> ExperimentConfig:
+    """Red-blood-cell streaming domain (reference: utils/Data_loader.py:104-116)."""
+    return ExperimentConfig(
+        name="red_blood_cell",
+        data=DataConfig(
+            style_distances=(6.0,),
+            content_distances=(4.0, 5.0, 6.0, 7.0, 8.0),
+        ),
+    )

@@ -1,0 +1,138 @@
+"""Angular-spectrum-method (ASM) free-space propagation, TPU-native.
+
+Re-design of the reference's ``utils/Angular_Spectrum_Method.py:7-36`` (torch):
+
+* the transfer-function grid is built **in-graph** with static shapes (the
+  reference rebuilds it in host numpy and ships it to the device on every
+  call, Angular_Spectrum_Method.py:22-26 — a host<->device round trip we
+  eliminate);
+* the fftshift sandwich of the reference (fftshift(fft2(.)) * H_centered then
+  ifft2(ifftshift(.))) is algebraically identical to an elementwise multiply
+  by the *unshifted* transfer function — we build H directly on the
+  ``fftfreq`` grid and skip both shifts;
+* per-sample propagation distances broadcast through the exponent exactly like
+  the reference's batched-``d`` path (Angular_Spectrum_Method.py:29).
+
+Semantics preserved exactly:
+
+* replicate ("edge") padding to 2x the spatial size when ``pad=True``
+  (Angular_Spectrum_Method.py:11-13);
+* the evanescent band is clamped to a *unit* transfer function — the
+  reference computes ``sqrt(max(0, 1 - lambda^2 f^2))/lambda`` so evanescent
+  frequencies get exponent 0, i.e. H=1, not attenuation
+  (Angular_Spectrum_Method.py:22-23);
+* centre-crop back to the original size (Angular_Spectrum_Method.py:34).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["angular_spectrum_kz", "propagate", "center_crop", "pad_replicate"]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1), static_argnames=("pixel_size", "wavelength"))
+def _kz_rel_grid(height: int, width: int, *, pixel_size: float, wavelength: float) -> jax.Array:
+    """Relative axial wavenumber grid: 2*pi*(sqrt(1/l^2 - f^2) - 1/l), fp32.
+
+    Precision note (TPU has no fp64): the full transfer-function phase
+    ``2*pi*d*sqrt(1/lambda^2 - f^2)`` reaches ~1e4 rad at sub-mm distances and
+    visible wavelengths, so evaluating it directly in fp32 loses ~5e-4 rad to
+    rounding. We therefore split it into
+
+        phase = d * 2*pi/lambda            (global, frequency-independent)
+              + d * 2*pi*(sqrt(1/l^2-f^2) - 1/l)   (relative, |.| < ~300 rad)
+
+    and compute the relative part with the cancellation-free identity
+    ``sqrt(a^2 - f^2) - a == -f^2 / (sqrt(a^2 - f^2) + a)``. The global term
+    becomes a per-sample scalar phasor applied outside the FFT; magnitudes and
+    intensities are exactly invariant to it, and per-pixel phases stay small
+    enough for full fp32 accuracy.
+
+    In the evanescent band the reference clamps the *total* exponent to zero
+    (H = 1, Angular_Spectrum_Method.py:22-23), so there the relative grid is
+    set to exactly ``-2*pi/lambda`` to cancel the global term.
+    """
+    fy = jnp.fft.fftfreq(height, d=pixel_size).astype(jnp.float32)
+    fx = jnp.fft.fftfreq(width, d=pixel_size).astype(jnp.float32)
+    f_sq = fy[:, None] ** 2 + fx[None, :] ** 2
+    inv_l = 1.0 / wavelength  # python fp64 at trace time
+    root = jnp.sqrt(jnp.maximum(jnp.float32(inv_l * inv_l) - f_sq, 0.0))
+    rel = -f_sq / (root + jnp.float32(inv_l))
+    rel = jnp.where(f_sq >= inv_l * inv_l, jnp.float32(-inv_l), rel)
+    return (2.0 * math.pi * rel).astype(jnp.float32)
+
+
+def angular_spectrum_kz(height: int, width: int, pixel_size: float, wavelength: float) -> jax.Array:
+    """The (height, width) fp32 kz grid with H = exp(i d kz) (absolute form)."""
+    rel = _kz_rel_grid(height, width, pixel_size=pixel_size, wavelength=wavelength)
+    return rel + jnp.float32(2.0 * math.pi / wavelength)
+
+
+def pad_replicate(field: jax.Array, pad_h: int, pad_w: int) -> jax.Array:
+    """Edge-replicate pad of the trailing two (spatial) axes."""
+    pad_cfg = [(0, 0)] * (field.ndim - 2) + [(pad_h, pad_h), (pad_w, pad_w)]
+    return jnp.pad(field, pad_cfg, mode="edge")
+
+
+def center_crop(field: jax.Array, size_h: int, size_w: int | None = None) -> jax.Array:
+    """Centre-crop the trailing two axes (reference: Angular_Spectrum_Method.py:50-52)."""
+    if size_w is None:
+        size_w = size_h
+    h, w = field.shape[-2], field.shape[-1]
+    top = (h - size_h) // 2
+    left = (w - size_w) // 2
+    return field[..., top : top + size_h, left : left + size_w]
+
+
+def propagate(
+    field: jax.Array,
+    distance: jax.Array | float,
+    *,
+    wavelength: float,
+    pixel_size: float,
+    pad: bool = True,
+) -> jax.Array:
+    """Propagate a complex field by ``distance`` metres via the angular spectrum.
+
+    Args:
+      field: complex array ``(..., H, W)`` — any number of leading batch axes.
+      distance: metres; scalar or broadcastable to the leading axes of
+        ``field`` (e.g. shape ``(B, 1, 1, 1)`` for per-sample distances).
+      wavelength, pixel_size: optical constants in metres (static).
+      pad: replicate-pad 2x before the FFT (the reference's
+        ``zero_padding=True`` — which despite its name is replicate padding).
+
+    Returns:
+      The propagated complex field, same shape as ``field``.
+    """
+    field = jnp.asarray(field)
+    if not jnp.issubdtype(field.dtype, jnp.complexfloating):
+        field = field.astype(jnp.complex64)
+    h, w = field.shape[-2], field.shape[-1]
+
+    if pad:
+        field = pad_replicate(field, h // 2, w // 2)
+    ph, pw = field.shape[-2], field.shape[-1]
+
+    kz_rel = _kz_rel_grid(ph, pw, pixel_size=pixel_size, wavelength=wavelength)
+    d = jnp.asarray(distance, dtype=jnp.float32)
+    # Relative phase: broadcast per-sample distances against the (ph, pw) grid.
+    phase = d * kz_rel  # (..., ph, pw) after broadcasting
+    transfer = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+    spectrum = jnp.fft.fft2(field)
+    out = jnp.fft.ifft2(transfer * spectrum)
+
+    # Global (frequency-independent) phasor exp(i d 2 pi / lambda), applied
+    # once per sample outside the FFT — see _kz_rel_grid's precision note.
+    g_phase = d * jnp.float32(2.0 * math.pi / wavelength)
+    out = out * jax.lax.complex(jnp.cos(g_phase), jnp.sin(g_phase))
+
+    if pad:
+        out = center_crop(out, h, w)
+    return out

@@ -1,0 +1,57 @@
+"""Phase-unwrapping tests: the DCT least-squares unwrapper must recover
+smooth phase surfaces exactly (up to a constant) and stay batched/jittable."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from style_transfer_based_holographic_imaging_tpu.ops import unwrap_phase, wrap_phase
+
+
+def _assert_match_up_to_constant(est, true, atol):
+    diff = est - true
+    diff = diff - diff.mean()
+    assert np.abs(diff).max() < atol, f"max dev {np.abs(diff).max():.3e}"
+
+
+def test_wrap_phase_range(rng):
+    x = rng.uniform(-20, 20, size=(64, 64)).astype(np.float32)
+    w = np.asarray(wrap_phase(jnp.asarray(x)))
+    assert w.min() >= -np.pi - 1e-6 and w.max() < np.pi + 1e-6
+    np.testing.assert_allclose(np.cos(w), np.cos(x), atol=1e-4)
+
+
+def test_unwrap_smooth_ramp():
+    y, x = np.mgrid[0:128, 0:128].astype(np.float32)
+    true = 0.15 * x + 0.08 * y  # max ~ 29 rad, heavily wrapped
+    wrapped = np.angle(np.exp(1j * true)).astype(np.float32)
+    est = np.asarray(unwrap_phase(jnp.asarray(wrapped[None, None])))[0, 0]
+    _assert_match_up_to_constant(est, true, atol=1e-2)
+
+
+def test_unwrap_gaussian_bump():
+    y, x = np.mgrid[0:128, 0:128].astype(np.float32)
+    true = 12.0 * np.exp(-(((x - 64) / 30) ** 2 + ((y - 64) / 30) ** 2))
+    wrapped = np.angle(np.exp(1j * true)).astype(np.float32)
+    est = np.asarray(unwrap_phase(jnp.asarray(wrapped[None, None])))[0, 0]
+    _assert_match_up_to_constant(est, true, atol=0.05)
+
+
+def test_unwrap_identity_on_unwrapped_input(rng):
+    # Phases already inside (-pi, pi) with gentle gradients are unchanged
+    # (up to the global constant) — important because the MNIST demo's phases
+    # are small-range (gt digit phase is in [0,1] rad).
+    smooth = 0.8 * np.sin(np.linspace(0, 2 * np.pi, 64))[None, :] * np.ones((64, 1))
+    smooth = smooth.astype(np.float32)
+    est = np.asarray(unwrap_phase(jnp.asarray(smooth[None, None])))[0, 0]
+    _assert_match_up_to_constant(est, smooth, atol=1e-3)
+
+
+def test_unwrap_batched_and_jittable(rng):
+    wrapped = rng.uniform(-np.pi, np.pi, size=(4, 1, 32, 32)).astype(np.float32)
+    f = jax.jit(unwrap_phase)
+    out = np.asarray(f(jnp.asarray(wrapped)))
+    assert out.shape == wrapped.shape
+    # congruence: output differs from input by exact multiples of 2 pi
+    k = (out - wrapped) / (2 * np.pi)
+    np.testing.assert_allclose(k, np.round(k), atol=1e-3)
