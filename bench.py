@@ -1,0 +1,80 @@
+"""Headline benchmark: MNIST field-retrieval throughput (holograms/sec/chip).
+
+Runs the full flagship inference program — sqrt -> VGG encode -> AdaIN
+(style vector) -> decode (A_t, phi_t) -> distance head -> ASM refocus ->
+DCT phase unwrap — on one TPU chip and prints ONE JSON line.
+
+Baseline: the torch reference publishes no throughput numbers anywhere
+(BASELINE.md). ``vs_baseline`` is measured against an analytic estimate of
+the reference on its own hardware (RTX4090, torch fp32/TF32): the model is
+~19.6 GFLOP/image (VGG-to-relu4_1 ~8.9 G + decoder ~10.7 G at 128^2); at a
+generous 40 TFLOP/s sustained that is ~2000 holograms/s. The BASELINE.json
+north star (>= 10x RTX4090 on v5e-1) therefore maps to >= 20000 holo/s.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
+    from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
+        make_retrieval_fn,
+    )
+    from style_transfer_based_holographic_imaging_tpu.models import init_net_params
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    batch = 256
+    physics = PhysicsConfig()
+    params = init_net_params(jax.random.key(0))
+    fn = make_retrieval_fn(physics, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    holo = jnp.asarray(rng.random((batch, 1, 128, 128), np.float32) * 0.6 + 0.05)
+    sm = jnp.asarray(rng.random((1, 1, 1, 512), np.float32))
+    ss = jnp.asarray(rng.random((1, 1, 1, 512), np.float32) + 0.5)
+    d_style = jnp.full((batch, 1, 1, 1), 0.2, jnp.float32)
+
+    # warm-up / compile. NB: on the remote (axon) backend block_until_ready
+    # does not reliably block, so timing must force a host transfer of a
+    # value data-dependent on every iteration.
+    out = fn(params, holo, sm, ss, d_style)
+    float(jax.device_get(jnp.sum(out["ph_foc"])))
+
+    n_iters = 20
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(n_iters):
+            out = fn(params, holo, sm, ss, d_style)
+            s = jnp.sum(out["ph_foc"])
+            acc = s if acc is None else acc + s
+        float(jax.device_get(acc))
+        dt = time.perf_counter() - t0
+        best = max(best, batch * n_iters / dt)
+
+    holos_per_sec = best
+    baseline = 2000.0  # estimated torch reference on RTX4090 (see docstring)
+    print(
+        json.dumps(
+            {
+                "metric": "MNIST field-retrieval throughput",
+                "value": round(holos_per_sec, 1),
+                "unit": "holograms/sec/chip",
+                "vs_baseline": round(holos_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

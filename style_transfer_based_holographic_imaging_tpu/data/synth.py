@@ -1,0 +1,177 @@
+"""On-device hologram synthesis: the training/eval data path.
+
+TPU-native re-design of the reference's ``mnist_loader`` family
+(utils/Data_loader.py:10-69): instead of torch DataLoader workers + host
+torchvision transforms + a device round-trip per batch, the whole batch —
+digit selection, flip/translate augmentation, distance sampling, and the
+ASM hologram formation — is one jitted program with explicit ``jax.random``
+keys (the reference uses unseeded np/torch RNG, Data_loader.py:16-19, so its
+runs are not reproducible; ours are).
+
+Because the environment has no MNIST download, the bundled digit bank is
+sklearn's 8x8 ``load_digits`` upsampled to 64x64 (same role: handwritten
+digits as phase objects, amplitude fixed at 0.6 — Data_loader.py:25). Any
+(N, 64, 64) float bank in [0, 1] can be substituted, e.g. the golden-suite
+GT digits via ``golden_digit_bank``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from style_transfer_based_holographic_imaging_tpu.config import DataConfig, PhysicsConfig
+from style_transfer_based_holographic_imaging_tpu.ops import holo_forward
+
+__all__ = [
+    "sklearn_digit_bank",
+    "golden_digit_bank",
+    "synth_batch",
+    "InfiniteHologramSampler",
+]
+
+
+def sklearn_digit_bank(size: int = 64) -> np.ndarray:
+    """(1797, size, size) digit phase objects in [0, 1] from sklearn digits."""
+    from sklearn.datasets import load_digits
+
+    imgs = load_digits().images.astype(np.float32) / 16.0  # (N, 8, 8)
+    out = jax.image.resize(
+        jnp.asarray(imgs), (imgs.shape[0], size, size), method="cubic"
+    )
+    return np.clip(np.asarray(out), 0.0, 1.0)
+
+
+def golden_digit_bank(goldens, size: int = 64) -> np.ndarray:
+    """Digit bank extracted from the golden suite's GT phases (100 MNIST
+    digits at 128x128, centre-cropped back to their 64x64 active area)."""
+    ph = goldens.flat("gt_phase")[:, 0]  # (100, 128, 128)
+    crop = ph[:, 32:96, 32:96]
+    if size != 64:
+        crop = np.asarray(
+            jax.image.resize(jnp.asarray(crop), (crop.shape[0], size, size), "cubic")
+        )
+    return np.clip(crop, 0.0, 1.0).astype(np.float32)
+
+
+def _augment(img: jax.Array, flips: jax.Array, shifts: jax.Array) -> jax.Array:
+    """Per-sample random flip + integer translate of a (H, W) image.
+
+    Mirrors RandomHorizontalFlip + RandomVerticalFlip + RandomAffine
+    (translate 10%, fill 0) of Data_loader.py:11-12. The digit sits in a
+    zero margin >= the max shift, so a roll is an exact zero-filled
+    translation.
+    """
+    img = jnp.where(flips[0], img[::-1, :], img)
+    img = jnp.where(flips[1], img[:, ::-1], img)
+    return jnp.roll(img, (shifts[0], shifts[1]), axis=(0, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("data", "physics", "return_gt"))
+def synth_batch(
+    key: jax.Array,
+    bank: jax.Array,
+    *,
+    data: DataConfig,
+    physics: PhysicsConfig,
+    return_gt: bool = False,
+) -> Dict[str, jax.Array]:
+    """Synthesize one training batch of (style, content) hologram pairs.
+
+    Returns NCHW tensors:
+      style_holo / content_holo : sqrt-intensity holograms (B, 1, S, S)
+      distance_style / distance_content : (B, 1, 1, 1), network units
+      and with ``return_gt`` also amplitude + phase_content
+      (== mnist_loader's return_gt, Data_loader.py:33-36).
+    """
+    b = data.batch_size
+    size = data.image_size
+    pad = data.digit_pad
+    max_shift = int(round(data.translate_frac * size))
+
+    ks = jax.random.split(key, 8)
+    idx_s = jax.random.randint(ks[0], (b,), 0, bank.shape[0])
+    idx_c = jax.random.randint(ks[1], (b,), 0, bank.shape[0])
+    flips = jax.random.bernoulli(ks[2], 0.5, (2, b, 2))
+    shifts = jax.random.randint(ks[3], (2, b, 2), -max_shift, max_shift + 1)
+
+    ds_list = jnp.asarray(data.style_distances, jnp.float32)
+    dc_list = jnp.asarray(data.content_distances, jnp.float32)
+    d_style = ds_list[jax.random.randint(ks[4], (b,), 0, len(ds_list))]
+    d_content = dc_list[jax.random.randint(ks[5], (b,), 0, len(dc_list))]
+    # normalize into network units (Data_loader.py:21-22)
+    d_style = (
+        -physics.distance_normalize_constant + d_style / physics.distance_normalize
+    ).reshape(b, 1, 1, 1)
+    d_content = (
+        -physics.distance_normalize_constant + d_content / physics.distance_normalize
+    ).reshape(b, 1, 1, 1)
+
+    digits_s = bank[idx_s]
+    digits_c = bank[idx_c]
+    pad_cfg = ((0, 0), (pad, pad), (pad, pad))
+    phase_s = jnp.pad(digits_s, pad_cfg)
+    phase_c = jnp.pad(digits_c, pad_cfg)
+    if data.flip:
+        phase_s = jax.vmap(_augment)(phase_s, flips[0], shifts[0])
+        phase_c = jax.vmap(_augment)(phase_c, flips[1], shifts[1])
+
+    phase_s = phase_s[:, None]  # (B, 1, S, S)
+    phase_c = phase_c[:, None]
+    amplitude = jnp.full((b, 1, size, size), data.amplitude, jnp.float32)
+
+    style_holo = holo_forward(amplitude, phase_s, d_style, physics)
+    content_holo = holo_forward(amplitude, phase_c, d_content, physics)
+
+    out = {
+        "style_holo": jnp.sqrt(style_holo),
+        "content_holo": jnp.sqrt(content_holo),
+        "distance_style": d_style,
+        "distance_content": d_content,
+    }
+    if return_gt:
+        out["amplitude"] = amplitude
+        out["phase_style"] = phase_s
+        out["phase_content"] = phase_c
+    return out
+
+
+class InfiniteHologramSampler:
+    """Endless reproducible batch stream (== InfiniteSamplerWrapper's role,
+    reference sampler.py — the training loop is iteration-based, not
+    epoch-based). Keys are folded from a base seed, so iteration N is
+    identical across runs and across resumes."""
+
+    def __init__(
+        self,
+        bank: np.ndarray,
+        data: DataConfig,
+        physics: PhysicsConfig,
+        *,
+        return_gt: bool = False,
+        start_iteration: int = 0,
+    ):
+        self.bank = jnp.asarray(bank, jnp.float32)
+        self.data = data
+        self.physics = physics
+        self.return_gt = return_gt
+        self.iteration = start_iteration
+        self._base = jax.random.key(data.seed)
+
+    def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        return self
+
+    def __next__(self) -> Dict[str, jax.Array]:
+        key = jax.random.fold_in(self._base, self.iteration)
+        self.iteration += 1
+        return synth_batch(
+            key,
+            self.bank,
+            data=self.data,
+            physics=self.physics,
+            return_gt=self.return_gt,
+        )

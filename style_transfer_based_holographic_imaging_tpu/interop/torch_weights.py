@@ -118,7 +118,7 @@ _DECODER_INDEX_TO_NAME = {
     28: ("up2", True),
     31: ("conv8", False),
     34: ("conv9", False),
-    36: ("conv10", False),
+    37: ("conv10", False),
 }
 
 

@@ -1,0 +1,9 @@
+"""End-to-end pipelines: retrieval, evaluation, streaming."""
+
+from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
+    retrieval_step,
+    make_retrieval_fn,
+    evaluate_golden_suite,
+)
+
+__all__ = ["retrieval_step", "make_retrieval_fn", "evaluate_golden_suite"]

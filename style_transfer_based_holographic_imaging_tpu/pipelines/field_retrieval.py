@@ -1,0 +1,220 @@
+"""End-to-end field retrieval: hologram in, focused complex object out.
+
+The TPU-native equivalent of the reference's demo harness
+(test_field_retrieval_mnist.py:111-146): one jit-compiled program runs
+
+    sqrt(holo) -> VGG encode -> AdaIN(style vector) -> decode (A_t, phi_t)
+    -> distance head -> ASM refocus by -d_style -> DCT phase unwrap
+    -> zero-mean phases -> PSNR/MAE
+
+entirely on-device — including the phase unwrap the reference bounces to
+host skimage per sample (utils/functions.py:44-59) and the metric programs
+it runs in torchmetrics/sklearn.
+
+External tensor layout is the reference's NCHW (B, 1, H, W) so users can
+feed the bundled .pt/.npz fixtures directly; the conv stack runs NHWC
+internally (TPU-native) with transposes fused into the first/last convs by
+XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from style_transfer_based_holographic_imaging_tpu.config import (
+    ExperimentConfig,
+    PhysicsConfig,
+)
+from style_transfer_based_holographic_imaging_tpu.models import StyleTransferNet
+from style_transfer_based_holographic_imaging_tpu.ops import holo_forward
+from style_transfer_based_holographic_imaging_tpu.eval.metrics import psnr, mae
+
+__all__ = ["retrieval_step", "make_retrieval_fn", "evaluate_golden_suite"]
+
+
+def _zero_mean(x: jax.Array) -> jax.Array:
+    """Subtract each sample's spatial mean (test_field_retrieval_mnist.py:128-130)."""
+    return x - jnp.mean(x, axis=(-2, -1), keepdims=True)
+
+
+def retrieval_step(
+    params,
+    content_holo: jax.Array,
+    style_mean: jax.Array,
+    style_std: jax.Array,
+    distance_style: jax.Array,
+    physics: PhysicsConfig,
+    *,
+    alpha: float = 1.0,
+    unknown_distance: bool = True,
+    unwrap: bool = True,
+    net: Optional[StyleTransferNet] = None,
+) -> Dict[str, jax.Array]:
+    """One retrieval step on an NCHW intensity-hologram batch.
+
+    Returns retrieved style-plane field (amp/phase), the refocused object
+    field, and the predicted content distance — all NCHW.
+    """
+    if net is None:
+        net = StyleTransferNet()
+
+    content = jnp.sqrt(jnp.asarray(content_holo, jnp.float32))
+    content_nhwc = jnp.transpose(content, (0, 2, 3, 1))
+
+    out = net.apply(
+        params,
+        content_nhwc,
+        style_mean,
+        style_std,
+        alpha,
+        unknown_distance=unknown_distance,
+        method=StyleTransferNet.field_retrieval,
+    )
+    if unknown_distance:
+        amp_nhwc, ph_nhwc, d_pred = out
+    else:
+        amp_nhwc, ph_nhwc = out
+        d_pred = None
+
+    amp = jnp.transpose(amp_nhwc, (0, 3, 1, 2))
+    ph = jnp.transpose(ph_nhwc, (0, 3, 1, 2))
+
+    # Physics refocus to the object plane: propagate the style-plane field by
+    # -d_style (test_field_retrieval_mnist.py:126 — including the
+    # -2*distance_normalize_constant term of its de-normalization).
+    refocus_d = (
+        -jnp.asarray(distance_style, jnp.float32)
+        - 2.0 * physics.distance_normalize_constant
+    )
+    amp_foc, ph_foc = holo_forward(
+        amp,
+        ph * physics.phase_normalize,
+        refocus_d,
+        physics,
+        return_field=True,
+        unwrap=unwrap,
+    )
+
+    result = {
+        "amp_field": amp,
+        "ph_field": ph,
+        "amp_foc": amp_foc,
+        "ph_foc": ph_foc,
+    }
+    if d_pred is not None:
+        result["distance_pred"] = d_pred.reshape(-1, 1, 1, 1)
+    return result
+
+
+def make_retrieval_fn(
+    physics: PhysicsConfig,
+    *,
+    alpha: float = 1.0,
+    unknown_distance: bool = True,
+    unwrap: bool = True,
+    donate: bool = False,
+    dtype=None,
+):
+    """A jit-compiled retrieval step closed over the static config.
+
+    ``dtype=jnp.bfloat16`` runs the conv stack in bf16 (MXU-native); the
+    physics (FFT/complex) path always stays fp32.
+    """
+    net = StyleTransferNet(dtype=dtype) if dtype is not None else None
+    step = functools.partial(
+        retrieval_step,
+        physics=physics,
+        alpha=alpha,
+        unknown_distance=unknown_distance,
+        unwrap=unwrap,
+        net=net,
+    )
+    return jax.jit(step, donate_argnums=(1,) if donate else ())
+
+
+def evaluate_golden_suite(
+    params,
+    goldens,
+    config: Optional[ExperimentConfig] = None,
+    *,
+    save_dir: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Run the bundled 20x5 golden suite and emit the reference's metrics.
+
+    Mirrors the whole demo loop (test_field_retrieval_mnist.py:111-159):
+    per-batch PSNR/MAE of the focused phase vs GT phase (both zero-meaned),
+    distance (true, predicted) pairs, final means and R². With ``save_dir``
+    also writes the per-sample montages and the distance box-plot.
+    """
+    from style_transfer_based_holographic_imaging_tpu.eval.metrics import r2_score
+
+    config = config or ExperimentConfig()
+    physics = config.physics
+    fn = make_retrieval_fn(physics, alpha=config.eval.alpha)
+
+    sm = jnp.asarray(goldens.style_mean)
+    ss = jnp.asarray(goldens.style_std)
+
+    psnr_list, mae_list, distance_pairs = [], [], []
+    montage_batches = []
+    for i in range(goldens.n_batches):
+        holo = jnp.asarray(goldens.content_holo[i])
+        d_style = jnp.asarray(goldens.distance_style[i])
+        out = fn(params, holo, sm, ss, d_style)
+
+        gt_phase = _zero_mean(jnp.asarray(goldens.gt_phase[i]))
+        ph_foc = _zero_mean(out["ph_foc"])
+        psnr_list.append(float(psnr(ph_foc, gt_phase)))
+        mae_list.append(float(mae(ph_foc, gt_phase)))
+
+        d_true = goldens.distance_content[i].reshape(-1)
+        d_pred = np.asarray(out["distance_pred"]).reshape(-1)
+        distance_pairs.extend(zip(d_true.tolist(), d_pred.tolist()))
+
+        if save_dir is not None:
+            montage_batches.append(
+                {
+                    "content": np.asarray(jnp.sqrt(holo)),
+                    "amp_field": np.asarray(out["amp_field"]),
+                    "gt_amplitude": goldens.gt_amplitude[i],
+                    "amp_foc": np.asarray(out["amp_foc"]),
+                    "ph_field": np.asarray(_zero_mean(out["ph_field"])),
+                    "gt_phase": np.asarray(gt_phase),
+                    "ph_foc": np.asarray(ph_foc),
+                }
+            )
+
+    pairs = np.asarray(distance_pairs, np.float64)
+    # distances to micrometres (test_field_retrieval_mnist.py:147)
+    um = (
+        (pairs + physics.distance_normalize_constant)
+        * physics.distance_normalize
+        * 1000.0
+    )
+    metrics = {
+        "mean_psnr": float(np.mean(psnr_list)),
+        "mean_mae": float(np.mean(mae_list)),
+        "r2": float(r2_score(um[:, 0], um[:, 1])),
+        "psnr_per_batch": psnr_list,
+        "mae_per_batch": mae_list,
+        "distance_true_um": um[:, 0].tolist(),
+        "distance_pred_um": um[:, 1].tolist(),
+    }
+
+    if save_dir is not None:
+        from style_transfer_based_holographic_imaging_tpu.eval.report import (
+            save_montages,
+            save_distance_boxplot,
+            save_metrics_jsonl,
+        )
+
+        save_montages(montage_batches, save_dir)
+        save_distance_boxplot(um[:, 0], um[:, 1], save_dir)
+        save_metrics_jsonl(metrics, save_dir)
+
+    return metrics

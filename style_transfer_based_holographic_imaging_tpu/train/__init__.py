@@ -1,0 +1,35 @@
+"""Training: losses, state, loop, checkpoints."""
+
+from style_transfer_based_holographic_imaging_tpu.train.losses import (
+    tv_loss,
+    physics_cycle_loss,
+    distance_loss,
+    lsgan_d_loss,
+    lsgan_g_loss,
+)
+from style_transfer_based_holographic_imaging_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    save_checkpoint,
+    restore_checkpoint,
+)
+from style_transfer_based_holographic_imaging_tpu.train.loop import (
+    generator_loss_fn,
+    make_train_step,
+    train,
+)
+
+__all__ = [
+    "tv_loss",
+    "physics_cycle_loss",
+    "distance_loss",
+    "lsgan_d_loss",
+    "lsgan_g_loss",
+    "TrainState",
+    "create_train_state",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "generator_loss_fn",
+    "make_train_step",
+    "train",
+]

@@ -1,0 +1,284 @@
+"""Training loop: loss assembly, jitted train step, batch-DP over a mesh.
+
+Loss surface per SURVEY.md §3.3 (the reference's train script is absent;
+this is the reconstruction of its documented loss groups, plus an optional
+supervised term that lets this repo mint its own checkpoints):
+
+  L = w_c L_content + w_s L_style            (net.py:213-216)
+    + w_phy L_phy                             (cycle through ASM physics)
+    + w_d (L_dist_style + L_dist_content)     (known style distances)
+    + w_sup L_field_supervised                (synthetic data only)
+    + w_tv TV(phi_t) + w_adv L_adv            (optional)
+
+Multi-chip: the train step is sharding-annotated — batch split along the
+``data`` mesh axis, params replicated; XLA inserts the gradient psum over
+ICI. No NCCL/MPI analogue exists or is needed (the reference is strictly
+single-device; SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from style_transfer_based_holographic_imaging_tpu.config import (
+    ExperimentConfig,
+    PhysicsConfig,
+    TrainConfig,
+)
+from style_transfer_based_holographic_imaging_tpu.models import (
+    StyleTransferNet,
+    PatchDiscriminator,
+)
+from style_transfer_based_holographic_imaging_tpu.ops import holo_forward
+from style_transfer_based_holographic_imaging_tpu.train.losses import (
+    tv_loss,
+    physics_cycle_loss,
+    distance_loss,
+    lsgan_d_loss,
+    lsgan_g_loss,
+)
+from style_transfer_based_holographic_imaging_tpu.train.state import TrainState
+
+__all__ = ["generator_loss_fn", "make_train_step", "train"]
+
+
+def _nhwc(x):
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def _nchw(x):
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def generator_loss_fn(
+    params,
+    batch: Dict[str, jax.Array],
+    rng: jax.Array,
+    *,
+    net: StyleTransferNet,
+    physics: PhysicsConfig,
+    cfg: TrainConfig,
+    disc_params=None,
+    disc: Optional[PatchDiscriminator] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Combined generator-side loss. Batch tensors are NCHW sqrt-holograms."""
+    content = _nhwc(batch["content_holo"])
+    style = _nhwc(batch["style_holo"])
+
+    out = net.apply(
+        params,
+        content,
+        style,
+        1.0,
+        field_retrieval=True,
+        unknown_distance=True,
+        deterministic=False,
+        rngs={"dropout": rng},
+    )
+
+    amp_t = _nchw(out["g_t"])          # decoded style-plane amplitude
+    ph_t = _nchw(out["g_t_phase"])     # decoded style-plane phase
+    d_c_pred = out["d_content"]
+    d_s_pred = out["d_style"]
+
+    loss = cfg.content_weight * out["loss_content"]
+    loss = loss + cfg.style_weight * out["loss_style"]
+
+    aux = {
+        "loss_content": out["loss_content"],
+        "loss_style": out["loss_style"],
+    }
+
+    if cfg.physics_weight:
+        l_phy = physics_cycle_loss(
+            amp_t,
+            ph_t * physics.phase_normalize,
+            d_c_pred.reshape(-1, 1, 1, 1),
+            batch["distance_style"],
+            batch["content_holo"],
+            physics,
+        )
+        loss = loss + cfg.physics_weight * l_phy
+        aux["loss_physics"] = l_phy
+
+    if cfg.distance_weight:
+        l_d = distance_loss(d_s_pred, batch["distance_style"]) + distance_loss(
+            d_c_pred, batch["distance_content"]
+        )
+        loss = loss + cfg.distance_weight * l_d
+        aux["loss_distance"] = l_d
+
+    if cfg.supervised_weight and "phase_content" in batch:
+        # Ground-truth style-plane field of the content object — computable
+        # for synthetic data by propagating the known object to d_style.
+        gt_amp, gt_ph = holo_forward(
+            batch["amplitude"],
+            batch["phase_content"] * physics.phase_normalize,
+            batch["distance_style"],
+            physics,
+            return_field=True,
+        )
+        gt_amp = jax.lax.stop_gradient(gt_amp)
+        gt_ph = jax.lax.stop_gradient(gt_ph)
+        l_sup = jnp.mean((amp_t - gt_amp) ** 2) + jnp.mean((ph_t - gt_ph) ** 2)
+        loss = loss + cfg.supervised_weight * l_sup
+        aux["loss_supervised"] = l_sup
+
+    if cfg.tv_weight:
+        l_tv = tv_loss(ph_t)
+        loss = loss + cfg.tv_weight * l_tv
+        aux["loss_tv"] = l_tv
+
+    if cfg.adv_weight and disc is not None and disc_params is not None:
+        fake_logits, _ = disc.apply(disc_params, out["g_t"])
+        l_adv = lsgan_g_loss(fake_logits)
+        loss = loss + cfg.adv_weight * l_adv
+        aux["loss_adv"] = l_adv
+
+    aux["loss_total"] = loss
+    aux["g_t"] = out["g_t"]
+    return loss, aux
+
+
+def make_train_step(
+    net: StyleTransferNet,
+    physics: PhysicsConfig,
+    cfg: TrainConfig,
+    *,
+    disc: Optional[PatchDiscriminator] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+):
+    """Build the jitted train step; with ``mesh`` the batch is sharded along
+    ``cfg.dp_axis`` and params are replicated (XLA inserts the grad psum)."""
+
+    def step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(generator_loss_fn, has_aux=True)
+        (loss, aux), grads = grad_fn(
+            state.params,
+            batch,
+            rng,
+            net=net,
+            physics=physics,
+            cfg=cfg,
+            disc_params=state.disc_params,
+            disc=disc,
+        )
+        new_state = state.apply_gradients(grads)
+
+        if cfg.adv_weight and disc is not None and state.disc_params is not None:
+            fake = jax.lax.stop_gradient(aux.pop("g_t"))
+            real = _nhwc(batch["style_holo"])
+
+            def d_loss_fn(dp):
+                real_logits, _ = disc.apply(dp, real)
+                fake_logits, _ = disc.apply(dp, fake)
+                return lsgan_d_loss(real_logits, fake_logits)
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+            new_state = new_state.apply_disc_gradients(d_grads)
+            aux["loss_disc"] = d_loss
+        else:
+            aux.pop("g_t", None)
+        return new_state, aux
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P(cfg.dp_axis))
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_sharded, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def train(
+    config: ExperimentConfig,
+    *,
+    bank: Optional[np.ndarray] = None,
+    state: Optional[TrainState] = None,
+    iterations: Optional[int] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    log_fn=print,
+) -> TrainState:
+    """Run (or continue) training; returns the final state.
+
+    Covers the reference's reconstructed training pipeline end to end:
+    infinite synthesized-hologram stream, iteration-based loop, periodic
+    orbax checkpoints (``checkpoints/iter_<n>``).
+    """
+    from style_transfer_based_holographic_imaging_tpu.data.synth import (
+        InfiniteHologramSampler,
+        sklearn_digit_bank,
+    )
+    from style_transfer_based_holographic_imaging_tpu.models.net import init_net_params
+    from style_transfer_based_holographic_imaging_tpu.train.state import (
+        create_train_state,
+        save_checkpoint,
+    )
+
+    cfg = config.train
+    physics = config.physics
+    net = StyleTransferNet()
+    if bank is None:
+        bank = sklearn_digit_bank()
+    if state is None:
+        params = init_net_params(jax.random.key(config.data.seed))
+        disc_params = None
+        disc = None
+        if cfg.adv_weight:
+            disc = PatchDiscriminator(image_size=config.data.image_size)
+            disc_params = disc.init(
+                jax.random.key(config.data.seed + 1),
+                jnp.ones((1, config.data.image_size, config.data.image_size, 1)),
+            )
+        state = create_train_state(params, cfg, disc_params=disc_params)
+    else:
+        disc = (
+            PatchDiscriminator(image_size=config.data.image_size)
+            if state.disc_params is not None
+            else None
+        )
+
+    sampler = InfiniteHologramSampler(
+        bank,
+        config.data,
+        physics,
+        return_gt=bool(cfg.supervised_weight),
+        start_iteration=int(state.step),
+    )
+    step_fn = make_train_step(net, physics, cfg, disc=disc, mesh=mesh)
+    rng = jax.random.key(config.data.seed + 2)
+
+    n_iter = cfg.iterations if iterations is None else iterations
+    t0 = time.time()
+    last_aux = None
+    for i, batch in zip(range(n_iter), sampler):
+        rng, sub = jax.random.split(rng)
+        state, aux = step_fn(state, batch, sub)
+        last_aux = aux
+        step = int(state.step)
+        if step % cfg.log_every == 0:
+            aux_host = {k: float(v) for k, v in jax.device_get(aux).items()}
+            rate = cfg.log_every * config.data.batch_size / max(
+                time.time() - t0, 1e-9
+            )
+            t0 = time.time()
+            log_fn(
+                f"step {step} | "
+                + " ".join(f"{k}={v:.4f}" for k, v in sorted(aux_host.items()))
+                + f" | {rate:.1f} img/s"
+            )
+        if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
+            save_checkpoint(state, cfg.checkpoint_dir)
+    return state

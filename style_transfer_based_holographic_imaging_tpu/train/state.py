@@ -1,0 +1,136 @@
+"""Train state: optimizer partitioning, checkpointing.
+
+* The VGG encoder is frozen (reference: net.py:167-170) by optimizer
+  masking — ``optax.multi_transform`` routes ``params['encoder']`` to
+  ``set_to_zero`` so no encoder update is ever applied, with no separate
+  "frozen pytree" plumbing.
+* Checkpoints are orbax-saved single pytrees named by iteration, replacing
+  the reference's three ``*_iter_<n>.pth.tar`` torch files
+  (test_field_retrieval_mnist.py:70-72). Resume restores both params and
+  optimizer state plus the data-stream iteration (the reference has no
+  resume logic at all — SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from style_transfer_based_holographic_imaging_tpu.config import TrainConfig
+
+__all__ = ["TrainState", "create_train_state", "save_checkpoint", "restore_checkpoint"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    disc_params: Optional[Any] = None
+    disc_opt_state: Optional[Any] = None
+    disc_tx: Optional[optax.GradientTransformation] = struct.field(
+        pytree_node=False, default=None
+    )
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+    def apply_disc_gradients(self, grads) -> "TrainState":
+        updates, new_opt = self.disc_tx.update(
+            grads, self.disc_opt_state, self.disc_params
+        )
+        return self.replace(
+            disc_params=optax.apply_updates(self.disc_params, updates),
+            disc_opt_state=new_opt,
+        )
+
+
+def _label_params(params) -> Any:
+    """'frozen' for the encoder subtree, 'train' elsewhere."""
+    inner = params["params"] if "params" in params else params
+
+    def label_tree(tree):
+        return jax.tree.map(lambda _: "train", tree)
+
+    labels = {
+        k: jax.tree.map(lambda _: "frozen" if k == "encoder" else "train", v)
+        for k, v in inner.items()
+    }
+    return {"params": labels} if "params" in params else labels
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam with the AdaIN-style inverse-time lr decay, encoder frozen."""
+    def lr_schedule(step):
+        return cfg.lr / (1.0 + cfg.lr_decay * step)
+
+    adam = optax.adam(lr_schedule)
+    return optax.multi_transform(
+        {"train": adam, "frozen": optax.set_to_zero()}, _label_params
+    )
+
+
+def create_train_state(
+    params,
+    cfg: TrainConfig,
+    *,
+    disc_params=None,
+) -> TrainState:
+    tx = make_optimizer(cfg)
+    disc_tx = optax.adam(cfg.lr) if disc_params is not None else None
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+        disc_params=disc_params,
+        disc_opt_state=disc_tx.init(disc_params) if disc_params is not None else None,
+        disc_tx=disc_tx,
+    )
+
+
+def save_checkpoint(state: TrainState, ckpt_dir: str, step: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    step = int(state.step) if step is None else step
+    path = os.path.abspath(os.path.join(ckpt_dir, f"iter_{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        path,
+        {
+            "step": jax.device_get(state.step),
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+        },
+        force=True,
+    )
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, state: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    target = {
+        "step": jax.device_get(state.step),
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    restored = ckptr.restore(os.path.abspath(path), target)
+    return state.replace(
+        step=jnp.asarray(restored["step"]),
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+    )

@@ -1,0 +1,256 @@
+"""Model parity tests.
+
+torch (CPU) is available in the test env, so each flax module is checked
+against a freshly built torch module with the *same random weights*, pushed
+through the interop converters. This validates simultaneously:
+
+* reflection-pad + VALID conv semantics,
+* ceil-mode max pooling,
+* ConvTranspose2d(2, stride=2) == matmul + depth-to-space,
+* the InstanceNorm1d-on-(B, F) quirk of the distance MLP,
+* the torch->flax weight conversion layout rules.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn as tnn
+
+from style_transfer_based_holographic_imaging_tpu.models import (
+    VggEncoder,
+    AmpPhaseDecoder,
+    DistanceMLP,
+    PatchDiscriminator,
+    StyleTransferNet,
+    split_style_vector,
+)
+from style_transfer_based_holographic_imaging_tpu.interop.torch_weights import (
+    convert_vgg_state_dict,
+    convert_decoder_state_dict,
+    convert_distance_state_dict,
+    torch_to_numpy,
+)
+
+torch.manual_seed(0)
+
+
+def nchw(x_nhwc):
+    return np.transpose(np.asarray(x_nhwc), (0, 3, 1, 2))
+
+
+def nhwc(x_nchw):
+    return np.transpose(np.asarray(x_nchw), (0, 2, 3, 1))
+
+
+def build_torch_vgg():
+    """The reference encoder architecture (net.py:76-130) up to relu4_1,
+    built independently here as a parity oracle."""
+    cfg = [64, 64, "P", 128, 128, "P", 256, 256, 256, 256, "P", 512]
+    layers = [tnn.Conv2d(1, 3, 1)]
+    in_ch = 3
+    for v in cfg:
+        if v == "P":
+            layers.append(tnn.MaxPool2d(2, 2, 0, ceil_mode=True))
+        else:
+            layers += [tnn.ReflectionPad2d(1), tnn.Conv2d(in_ch, v, 3), tnn.ReLU()]
+            in_ch = v
+    return tnn.Sequential(*layers)
+
+
+def build_torch_decoder():
+    """The reference decoder architecture (net.py:33-74) as a parity oracle."""
+    def rc(i, o):
+        return [tnn.ReflectionPad2d(1), tnn.Conv2d(i, o, 3), tnn.ReLU()]
+
+    layers = (
+        rc(512, 512)
+        + rc(512, 256)
+        + [tnn.ConvTranspose2d(256, 256, 2, stride=2), tnn.ReLU()]
+        + rc(256, 256) + rc(256, 256) + rc(256, 256) + rc(256, 128)
+        + [tnn.ConvTranspose2d(128, 128, 2, stride=2), tnn.ReLU()]
+        + rc(128, 128) + rc(128, 64)
+        + [tnn.ConvTranspose2d(64, 64, 2, stride=2), tnn.ReLU()]
+        + rc(64, 64) + rc(64, 64)
+        + [tnn.ReflectionPad2d(1), tnn.Conv2d(64, 2, 3)]
+    )
+    return tnn.Sequential(*layers)
+
+
+def build_torch_distance():
+    class TD(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.l1 = tnn.Linear(1024, 1024)
+            self.l2 = tnn.Linear(1024, 1024)
+            self.l3 = tnn.Linear(1024, 512)
+            self.out = tnn.Linear(512, 1)
+            self.n1 = tnn.InstanceNorm1d(1024)
+            self.n2 = tnn.InstanceNorm1d(1024)
+            self.n3 = tnn.InstanceNorm1d(512)
+
+        def forward(self, m, s):
+            b = m.shape[0]
+            x = torch.cat([m.view(b, -1), s.view(b, -1)], dim=1)
+            x = torch.relu(self.n1(self.l1(x)))
+            x = torch.relu(self.n2(self.l2(x)))
+            x = torch.relu(self.n3(self.l3(x)))
+            return torch.sigmoid(self.out(x))
+
+    return TD()
+
+
+@pytest.fixture(scope="module")
+def vgg_pair():
+    tv = build_torch_vgg().eval()
+    params = {"params": convert_vgg_state_dict(
+        {k: v for k, v in torch_to_numpy(tv.state_dict()).items()},
+        collapse_rgb_stem=False,
+    )}
+    return tv, params
+
+
+class TestVggParity:
+    def test_relu4_1_matches_torch(self, rng, vgg_pair):
+        tv, params = vgg_pair
+        x = rng.random((2, 1, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = tv(torch.from_numpy(x)).numpy()
+        got = nchw(VggEncoder().apply(params, jnp.asarray(nhwc(x))))
+        assert got.shape == want.shape == (2, 512, 8, 8)
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_all_taps_shapes(self, rng, vgg_pair):
+        _, params = vgg_pair
+        x = jnp.asarray(rng.random((1, 64, 64, 1)).astype(np.float32))
+        taps = VggEncoder().apply(params, x, all_taps=True)
+        assert [t.shape for t in taps] == [
+            (1, 64, 64, 64),
+            (1, 32, 32, 128),
+            (1, 16, 16, 256),
+            (1, 8, 8, 512),
+        ]
+
+    def test_odd_size_ceil_pool(self, rng, vgg_pair):
+        """torch ceil_mode pools keep partial windows; 100 -> 50 -> 25 -> 13."""
+        tv, params = vgg_pair
+        x = rng.random((1, 1, 100, 100)).astype(np.float32)
+        with torch.no_grad():
+            want = tv(torch.from_numpy(x)).numpy()
+        got = nchw(VggEncoder().apply(params, jnp.asarray(nhwc(x))))
+        assert got.shape == want.shape == (1, 512, 13, 13)
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+class TestDecoderParity:
+    def test_matches_torch(self, rng):
+        td = build_torch_decoder().eval()
+        params = {"params": convert_decoder_state_dict(torch_to_numpy(td.state_dict()))}
+        t = (rng.random((2, 512, 8, 8)).astype(np.float32) - 0.2)
+        with torch.no_grad():
+            want = td(torch.from_numpy(t)).numpy()
+        got = nchw(AmpPhaseDecoder().apply(params, jnp.asarray(nhwc(t))))
+        assert got.shape == want.shape == (2, 2, 64, 64)
+        np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+class TestDistanceParity:
+    def test_matches_torch(self, rng):
+        td = build_torch_distance().eval()
+        params = {"params": convert_distance_state_dict(torch_to_numpy(td.state_dict()))}
+        m = rng.random((4, 512, 1, 1)).astype(np.float32)
+        s = rng.random((4, 512, 1, 1)).astype(np.float32) + 0.5
+        with torch.no_grad():
+            want = td(torch.from_numpy(m), torch.from_numpy(s)).numpy()
+        # ours takes NHWC-style stats (B,1,1,C)
+        got = np.asarray(
+            DistanceMLP().apply(
+                params,
+                (jnp.asarray(m.reshape(4, 1, 1, 512)), jnp.asarray(s.reshape(4, 1, 1, 512))),
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        assert ((got > 0) & (got < 1)).all()
+
+    def test_batch_one_no_hack_needed(self, rng):
+        """The reference needs a repeat(2,...) workaround for B=1
+        (net.py:255-256); ours must be consistent between B=1 and batched."""
+        params = DistanceMLP().init(
+            jax.random.key(0),
+            (jnp.ones((2, 1, 1, 512)), jnp.ones((2, 1, 1, 512))),
+        )
+        m = jnp.asarray(rng.random((2, 1, 1, 512)).astype(np.float32))
+        s = jnp.asarray(rng.random((2, 1, 1, 512)).astype(np.float32)) + 0.5
+        full = np.asarray(DistanceMLP().apply(params, (m, s)))
+        single = np.asarray(DistanceMLP().apply(params, (m[:1], s[:1])))
+        np.testing.assert_allclose(single, full[:1], atol=1e-6)
+
+
+class TestDiscriminator:
+    def test_shapes(self, rng):
+        d = PatchDiscriminator()
+        x = jnp.asarray(rng.random((2, 128, 128, 1)).astype(np.float32))
+        params = d.init(jax.random.key(0), x)
+        src, cls = d.apply(params, x)
+        assert src.shape == (2, 2, 2, 1)
+        assert cls.shape == (2, 5)
+
+
+class TestStyleTransferNet:
+    @pytest.fixture(scope="class")
+    def net_and_params(self):
+        net = StyleTransferNet()
+        x = jnp.ones((1, 64, 64, 1), jnp.float32)
+        params = net.init(
+            jax.random.key(0), x, x, field_retrieval=True, unknown_distance=True
+        )
+        return net, params
+
+    def test_field_retrieval_shapes(self, rng, net_and_params):
+        net, params = net_and_params
+        content = jnp.asarray(rng.random((3, 64, 64, 1)).astype(np.float32))
+        sm = jnp.asarray(rng.random((1, 1, 1, 512)).astype(np.float32))
+        ss = jnp.asarray(rng.random((1, 1, 1, 512)).astype(np.float32)) + 0.5
+        amp, ph, d = net.apply(
+            params, content, sm, ss, 1.0, unknown_distance=True,
+            method=StyleTransferNet.field_retrieval,
+        )
+        assert amp.shape == (3, 64, 64, 1)
+        assert ph.shape == (3, 64, 64, 1)
+        assert d.shape == (3, 1)
+
+    def test_training_forward_losses(self, rng, net_and_params):
+        net, params = net_and_params
+        c = jnp.asarray(rng.random((2, 64, 64, 1)).astype(np.float32))
+        s = jnp.asarray(rng.random((2, 64, 64, 1)).astype(np.float32))
+        out = net.apply(params, c, s, 1.0, field_retrieval=True, unknown_distance=True)
+        assert np.isfinite(float(out["loss_content"]))
+        assert np.isfinite(float(out["loss_style"]))
+        assert out["g_t"].shape == (2, 64, 64, 1)
+        assert out["d_content"].shape == (2, 1)
+
+    def test_alpha_zero_is_identity_mix(self, rng, net_and_params):
+        """alpha=0 bypasses the style statistics entirely (net.py:246)."""
+        net, params = net_and_params
+        content = jnp.asarray(rng.random((1, 64, 64, 1)).astype(np.float32))
+        sm = jnp.asarray(rng.random((1, 1, 1, 512)).astype(np.float32))
+        ss = jnp.asarray(rng.random((1, 1, 1, 512)).astype(np.float32)) + 0.5
+        a0 = net.apply(params, content, sm, ss, 0.0,
+                       method=StyleTransferNet.field_retrieval)
+        a0b = net.apply(params, content, sm * 5.0, ss * 3.0, 0.0,
+                        method=StyleTransferNet.field_retrieval)
+        np.testing.assert_allclose(np.asarray(a0[0]), np.asarray(a0b[0]), atol=1e-6)
+
+
+def test_split_style_vector_layouts():
+    sv_nchw = np.stack([np.full((512, 1, 1), 2.0), np.full((512, 1, 1), 3.0)]).astype(
+        np.float32
+    )
+    m, s = split_style_vector(jnp.asarray(sv_nchw))
+    assert m.shape == (1, 1, 1, 512) and float(m[0, 0, 0, 0]) == 2.0
+    assert s.shape == (1, 1, 1, 512) and float(s[0, 0, 0, 0]) == 3.0
+    # multi-style: (2B, 1, 1, C)
+    sv_multi = np.concatenate([np.full((3, 1, 1, 512), 1.0), np.full((3, 1, 1, 512), 4.0)])
+    m2, s2 = split_style_vector(jnp.asarray(sv_multi.astype(np.float32)))
+    assert m2.shape == (3, 1, 1, 512) and float(s2[0, 0, 0, 0]) == 4.0

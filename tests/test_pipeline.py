@@ -1,0 +1,75 @@
+"""End-to-end pipeline tests on the golden suite (random-init weights).
+
+These exercise the full jitted program (sqrt -> encode -> AdaIN -> decode ->
+distance -> refocus -> unwrap -> metrics) and the report artifacts; numeric
+quality gates belong to the trained-checkpoint evaluation, not here.
+"""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+from style_transfer_based_holographic_imaging_tpu.models import init_net_params
+from style_transfer_based_holographic_imaging_tpu.pipelines import (
+    make_retrieval_fn,
+    evaluate_golden_suite,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_net_params(jax.random.key(0))
+
+
+def test_retrieval_step_shapes(goldens, params):
+    cfg = ExperimentConfig()
+    fn = make_retrieval_fn(cfg.physics)
+    out = fn(
+        params,
+        goldens.content_holo[0],
+        goldens.style_mean,
+        goldens.style_std,
+        goldens.distance_style[0],
+    )
+    assert out["amp_field"].shape == (5, 1, 128, 128)
+    assert out["ph_foc"].shape == (5, 1, 128, 128)
+    assert out["distance_pred"].shape == (5, 1, 1, 1)
+    d = np.asarray(out["distance_pred"])
+    assert ((d > 0) & (d < 1)).all()
+
+
+def test_evaluate_golden_suite_with_artifacts(goldens, params, tmp_path):
+    import dataclasses
+
+    # Shrink to 2 batches for speed: evaluate handles any batch count.
+    small = dataclasses.replace(
+        goldens,
+        content_holo=goldens.content_holo[:2],
+        distance_style=goldens.distance_style[:2],
+        distance_content=goldens.distance_content[:2],
+        gt_amplitude=goldens.gt_amplitude[:2],
+        gt_phase=goldens.gt_phase[:2],
+    )
+    metrics = evaluate_golden_suite(params, small, save_dir=str(tmp_path))
+    assert np.isfinite(metrics["mean_psnr"])
+    assert np.isfinite(metrics["mean_mae"])
+    assert np.isfinite(metrics["r2"])
+    assert len(metrics["distance_true_um"]) == 10
+    # artifacts: 10 montages + box-plot + metrics.jsonl
+    files = os.listdir(tmp_path)
+    assert "distance_prediction.png" in files
+    assert "metrics.jsonl" in files
+    assert sum(f.endswith("_test.png") for f in files) == 10
+
+
+def test_retrieval_deterministic(goldens, params):
+    cfg = ExperimentConfig()
+    fn = make_retrieval_fn(cfg.physics)
+    a = fn(params, goldens.content_holo[0], goldens.style_mean, goldens.style_std,
+           goldens.distance_style[0])
+    b = fn(params, goldens.content_holo[0], goldens.style_mean, goldens.style_std,
+           goldens.distance_style[0])
+    np.testing.assert_array_equal(np.asarray(a["ph_foc"]), np.asarray(b["ph_foc"]))

@@ -1,0 +1,172 @@
+"""Training subsystem tests: synthesis determinism, loss gradients, a real
+optimization step, encoder freezing, checkpoint round-trip."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from style_transfer_based_holographic_imaging_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    PhysicsConfig,
+    TrainConfig,
+)
+from style_transfer_based_holographic_imaging_tpu.data.synth import (
+    sklearn_digit_bank,
+    synth_batch,
+    InfiniteHologramSampler,
+)
+from style_transfer_based_holographic_imaging_tpu.models import StyleTransferNet, init_net_params
+from style_transfer_based_holographic_imaging_tpu.train import (
+    create_train_state,
+    make_train_step,
+    save_checkpoint,
+    restore_checkpoint,
+    tv_loss,
+)
+
+SMALL_DATA = DataConfig(batch_size=2, image_size=64, digit_pad=16)
+PHYSICS = PhysicsConfig()
+
+
+@pytest.fixture(scope="module")
+def bank():
+    return sklearn_digit_bank(32)
+
+
+@pytest.fixture(scope="module")
+def small_params():
+    # host copy: train steps donate their state, which would delete shared
+    # device buffers between tests
+    return jax.device_get(init_net_params(jax.random.key(0), image_size=64))
+
+
+def test_digit_bank_range(bank):
+    assert bank.shape == (1797, 32, 32)
+    assert bank.min() >= 0.0 and bank.max() <= 1.0
+
+
+def test_synth_batch_shapes_and_determinism(bank):
+    key = jax.random.key(7)
+    b1 = synth_batch(key, jnp.asarray(bank), data=SMALL_DATA, physics=PHYSICS, return_gt=True)
+    b2 = synth_batch(key, jnp.asarray(bank), data=SMALL_DATA, physics=PHYSICS, return_gt=True)
+    assert b1["content_holo"].shape == (2, 1, 64, 64)
+    assert b1["distance_style"].shape == (2, 1, 1, 1)
+    np.testing.assert_array_equal(np.asarray(b1["content_holo"]), np.asarray(b2["content_holo"]))
+    # distances come from the configured lists (fp32-rounded)
+    dc = np.asarray(b1["distance_content"]).flatten()
+    choices = np.asarray(SMALL_DATA.content_distances, np.float32)
+    assert all(np.isclose(v, choices).any() for v in dc), dc
+
+
+def test_infinite_sampler_reproducible(bank):
+    s1 = InfiniteHologramSampler(bank, SMALL_DATA, PHYSICS)
+    s2 = InfiniteHologramSampler(bank, SMALL_DATA, PHYSICS)
+    a = next(s1)
+    _ = next(s2)
+    s3 = InfiniteHologramSampler(bank, SMALL_DATA, PHYSICS, start_iteration=0)
+    c = next(s3)
+    np.testing.assert_array_equal(np.asarray(a["style_holo"]), np.asarray(c["style_holo"]))
+
+
+def test_tv_loss_zero_for_constant():
+    assert float(tv_loss(jnp.ones((1, 1, 8, 8)))) == 0.0
+
+
+class TestTrainStep:
+    @pytest.fixture(scope="class")
+    def stepped(self, bank, small_params):
+        cfg = TrainConfig(checkpoint_every=0, adv_weight=0.0)
+        net = StyleTransferNet()
+        # host snapshot: the train step donates the state, deleting the
+        # original device buffers
+        params_before = jax.device_get(small_params)
+        state = create_train_state(small_params, cfg)
+        step_fn = make_train_step(net, PHYSICS, cfg)
+        batch = synth_batch(
+            jax.random.key(0), jnp.asarray(bank), data=SMALL_DATA, physics=PHYSICS,
+            return_gt=True,
+        )
+        new_state, aux = step_fn(state, batch, jax.random.key(1))
+        return params_before, new_state, aux
+
+    def test_losses_finite(self, stepped):
+        _, _, aux = stepped
+        for k, v in aux.items():
+            assert np.isfinite(float(v)), k
+
+    def test_decoder_updated_encoder_frozen(self, stepped):
+        params0, new_state, _ = stepped
+        p0 = params0["params"]
+        p1 = jax.device_get(new_state.params)["params"]
+        enc_same = jax.tree.all(
+            jax.tree.map(lambda a, b: bool(jnp.all(a == b)), p0["encoder"], p1["encoder"])
+        )
+        dec_changed = not jax.tree.all(
+            jax.tree.map(lambda a, b: bool(jnp.all(a == b)), p0["decoder"], p1["decoder"])
+        )
+        dist_changed = not jax.tree.all(
+            jax.tree.map(
+                lambda a, b: bool(jnp.all(a == b)), p0["distance_g"], p1["distance_g"]
+            )
+        )
+        assert enc_same, "encoder must stay frozen"
+        assert dec_changed, "decoder must receive updates"
+        assert dist_changed, "distance head must receive updates"
+
+    def test_loss_decreases_over_steps(self, bank, small_params):
+        cfg = TrainConfig(checkpoint_every=0, adv_weight=0.0, lr=2e-4)
+        net = StyleTransferNet()
+        state = create_train_state(small_params, cfg)
+        step_fn = make_train_step(net, PHYSICS, cfg)
+        batch = synth_batch(
+            jax.random.key(0), jnp.asarray(bank), data=SMALL_DATA, physics=PHYSICS,
+            return_gt=True,
+        )
+        losses = []
+        rng = jax.random.key(3)
+        for i in range(8):
+            rng, sub = jax.random.split(rng)
+            state, aux = step_fn(state, batch, sub)
+            losses.append(float(aux["loss_total"]))
+        assert losses[-1] < losses[0], losses
+
+
+def test_checkpoint_roundtrip(tmp_path, small_params):
+    cfg = TrainConfig(checkpoint_dir=str(tmp_path))
+    state = create_train_state(small_params, cfg)
+    state = state.replace(step=jnp.asarray(42, jnp.int32))
+    path = save_checkpoint(state, str(tmp_path))
+    fresh = create_train_state(init_net_params(jax.random.key(9), image_size=64), cfg)
+    restored = restore_checkpoint(path, fresh)
+    assert int(restored.step) == 42
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gan_path_runs(bank):
+    """Adversarial plumbing: one step with adv_weight>0 updates D too."""
+    from style_transfer_based_holographic_imaging_tpu.models import PatchDiscriminator
+
+    cfg = TrainConfig(checkpoint_every=0, adv_weight=1.0)
+    net = StyleTransferNet()
+    params = init_net_params(jax.random.key(0), image_size=64)
+    disc = PatchDiscriminator(image_size=64)
+    disc_params = jax.device_get(disc.init(jax.random.key(1), jnp.ones((1, 64, 64, 1))))
+    state = create_train_state(params, cfg, disc_params=disc_params)
+    step_fn = make_train_step(net, PHYSICS, cfg, disc=disc)
+    batch = synth_batch(
+        jax.random.key(0), jnp.asarray(bank), data=SMALL_DATA, physics=PHYSICS,
+        return_gt=True,
+    )
+    new_state, aux = step_fn(state, batch, jax.random.key(2))
+    assert "loss_adv" in aux and "loss_disc" in aux
+    assert np.isfinite(float(aux["loss_disc"]))
+    changed = not jax.tree.all(
+        jax.tree.map(lambda a, b: bool(jnp.all(a == b)), disc_params, new_state.disc_params)
+    )
+    assert changed, "discriminator must receive updates"
