@@ -1,0 +1,267 @@
+"""Command-line interface.
+
+The reference's only entry point is one argparse demo script
+(test_field_retrieval_mnist.py); this CLI covers that surface and the
+missing training/tooling entry points:
+
+  python -m style_transfer_based_holographic_imaging_tpu.cli eval
+      golden-suite field retrieval: metrics + montages + box-plot
+      (== `python test_field_retrieval_mnist.py`)
+  python -m style_transfer_based_holographic_imaging_tpu.cli train
+      mint checkpoints on synthesized holograms (the reference's train
+      script is absent from its snapshot)
+  python -m style_transfer_based_holographic_imaging_tpu.cli extract-style
+      mint a representative style vector for a trained encoder
+  python -m style_transfer_based_holographic_imaging_tpu.cli synth-bench
+      batched hologram synthesis over a distance sweep (BASELINE config #2)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="orbax checkpoint dir (default: checkpoints/release if present)")
+    p.add_argument("--style-vector", type=str, default=None,
+                   help=".npz with mean/std arrays (default: alongside checkpoint)")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--image-size", type=int, default=128)
+
+
+def _setup_backend(args):
+    import jax
+
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")
+    return jax
+
+
+def _default_ckpt() -> str | None:
+    for cand in ("checkpoints/release", "checkpoints"):
+        if os.path.isdir(cand):
+            return cand
+    return None
+
+
+def _load_params(args):
+    import jax
+    from style_transfer_based_holographic_imaging_tpu.models import init_net_params
+
+    params = init_net_params(jax.random.key(0), image_size=args.image_size)
+    ckpt = args.checkpoint or _default_ckpt()
+    if ckpt and os.path.isdir(ckpt):
+        import orbax.checkpoint as ocp
+
+        # accept either a raw params checkpoint or a train-state dir
+        sub = ckpt
+        if os.path.isdir(os.path.join(ckpt, "params")):
+            pass
+        else:
+            iters = sorted(
+                (d for d in os.listdir(ckpt) if d.startswith("iter_")),
+                key=lambda s: int(s.split("_")[1]),
+            )
+            if iters:
+                sub = os.path.join(ckpt, iters[-1])
+        target = {"params": jax.device_get(params)}
+        try:
+            restored = ocp.StandardCheckpointer().restore(os.path.abspath(sub), target)
+            params = restored["params"]
+            print(f"loaded checkpoint {sub}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"checkpoint load failed ({e}); using random init", file=sys.stderr)
+    else:
+        print("no checkpoint found; using random init", file=sys.stderr)
+    return params
+
+
+def _load_style(args):
+    import numpy as np
+
+    path = args.style_vector
+    if path is None:
+        ckpt = args.checkpoint or _default_ckpt()
+        if ckpt:
+            cand = os.path.join(os.path.dirname(ckpt.rstrip("/")), "style_vector.npz")
+            for c in (os.path.join(ckpt, "style_vector.npz"), cand, "checkpoints/style_vector.npz"):
+                if os.path.isfile(c):
+                    path = c
+                    break
+    if path and os.path.isfile(path):
+        z = np.load(path)
+        print(f"loaded style vector {path}", file=sys.stderr)
+        return z["mean"], z["std"]
+    return None
+
+
+def cmd_eval(args):
+    _setup_backend(args)
+    from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+    from style_transfer_based_holographic_imaging_tpu.data import load_golden_suite
+    from style_transfer_based_holographic_imaging_tpu.pipelines import (
+        evaluate_golden_suite,
+    )
+
+    params = _load_params(args)
+    style = _load_style(args)
+    goldens = load_golden_suite()
+    cfg = ExperimentConfig()
+    save_dir = os.path.join(args.save_dir, args.exp_name) if args.save_dir else None
+    metrics = evaluate_golden_suite(
+        params, goldens, cfg, save_dir=save_dir, style_override=style
+    )
+    print(f"Mean PSNR: {metrics['mean_psnr']:.4f}")
+    print(f"Mean MAE: {metrics['mean_mae']:.6f}")
+    print(f"R2 score: {metrics['r2']:.6f}")
+    if args.json:
+        print(json.dumps({k: metrics[k] for k in ("mean_psnr", "mean_mae", "r2")}))
+    return metrics
+
+
+def cmd_train(args):
+    _setup_backend(args)
+    import dataclasses
+
+    from style_transfer_based_holographic_imaging_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        TrainConfig,
+    )
+    from style_transfer_based_holographic_imaging_tpu.train import train
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=args.batch_size, seed=args.seed),
+        train=TrainConfig(
+            iterations=args.iterations,
+            lr=args.lr,
+            checkpoint_every=args.checkpoint_every,
+            checkpoint_dir=args.checkpoint_dir,
+            freeze_encoder=not args.train_encoder,
+            supervised_weight=args.supervised_weight,
+            physics_weight=args.physics_weight,
+            adv_weight=args.adv_weight,
+            log_every=args.log_every,
+        ),
+    )
+    bank = None
+    if args.digit_bank and os.path.isfile(args.digit_bank):
+        import numpy as np
+
+        bank = np.load(args.digit_bank)["bank"]
+    state = train(cfg, bank=bank)
+    from style_transfer_based_holographic_imaging_tpu.train import save_checkpoint
+
+    path = save_checkpoint(state, cfg.train.checkpoint_dir)
+    print(f"final checkpoint: {path}")
+    return state
+
+
+def cmd_extract_style(args):
+    _setup_backend(args)
+    from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+    from style_transfer_based_holographic_imaging_tpu.data.synth import sklearn_digit_bank
+    from style_transfer_based_holographic_imaging_tpu.pipelines.style_vector import (
+        extract_style_vector,
+        save_style_vector,
+    )
+
+    params = _load_params(args)
+    cfg = ExperimentConfig()
+    mean, std = extract_style_vector(
+        params, cfg, sklearn_digit_bank(), n_batches=args.n_batches
+    )
+    save_style_vector(mean, std, args.out)
+    print(f"style vector written to {args.out}")
+
+
+def cmd_synth_bench(args):
+    _setup_backend(args)
+    import time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
+    from style_transfer_based_holographic_imaging_tpu.ops import holo_forward
+
+    physics = PhysicsConfig()
+    b = args.batch_size
+    rng = np.random.default_rng(0)
+    amp = jnp.full((b, 1, args.image_size, args.image_size), 0.6, jnp.float32)
+    ph = jnp.asarray(rng.random((b, 1, args.image_size, args.image_size), np.float32))
+    # distance sweep: one distance per sample (vmap-free broadcasting)
+    d = jnp.linspace(0.2, 0.8, b).reshape(b, 1, 1, 1)
+
+    fn = jax.jit(lambda a, p, dd: holo_forward(a, p, dd, physics))
+    out = fn(amp, ph, d)
+    float(jax.device_get(jnp.sum(out)))
+    n = 50
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(n):
+        out = fn(amp, ph, d)
+        s = jnp.sum(out)
+        acc = s if acc is None else acc + s
+    float(jax.device_get(acc))
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "hologram synthesis (distance sweep)",
+                "value": round(b * n / dt, 1),
+                "unit": "holograms/sec/chip",
+            }
+        )
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="style_transfer_based_holographic_imaging_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("eval", help="golden-suite field retrieval evaluation")
+    _add_common(p)
+    p.add_argument("--save-dir", type=str, default="output")
+    p.add_argument("--exp-name", type=str, default="MNIST_test")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("train", help="train on synthesized holograms")
+    _add_common(p)
+    p.add_argument("--iterations", type=int, default=20000)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint-every", type=int, default=5000)
+    p.add_argument("--checkpoint-dir", type=str, default="checkpoints")
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--train-encoder", action="store_true")
+    p.add_argument("--supervised-weight", type=float, default=10.0)
+    p.add_argument("--physics-weight", type=float, default=10.0)
+    p.add_argument("--adv-weight", type=float, default=0.0)
+    p.add_argument("--digit-bank", type=str, default=None)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("extract-style", help="mint a representative style vector")
+    _add_common(p)
+    p.add_argument("--out", type=str, default="checkpoints/style_vector.npz")
+    p.add_argument("--n-batches", type=int, default=32)
+    p.set_defaults(fn=cmd_extract_style)
+
+    p = sub.add_parser("synth-bench", help="hologram-synthesis throughput")
+    _add_common(p)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.set_defaults(fn=cmd_synth_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

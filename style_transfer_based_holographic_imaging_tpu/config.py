@@ -64,6 +64,11 @@ class DataConfig:
     content_distances: Sequence[float] = (0.4, 0.5, 0.6, 0.7, 0.8)
     translate_frac: float = 0.1         # random-translate augmentation
     flip: bool = True
+    # Phase-object intensity augmentation: per-sample phase scale and gamma
+    # jitter, compensating the blur/contrast gap between the bundled digit
+    # bank and real MNIST digits. (1.0, 1.0) ranges disable it.
+    phase_scale_range: Sequence[float] = (0.7, 1.0)
+    gamma_range: Sequence[float] = (0.6, 1.6)
     seed: int = 0
 
 
@@ -85,6 +90,10 @@ class TrainConfig:
     log_every: int = 100
     checkpoint_dir: str = "checkpoints"
     dp_axis: str = "data"               # mesh axis name for batch data-parallel
+    freeze_encoder: bool = True         # reference semantics (net.py:167-170);
+                                        # False lets the encoder train too
+                                        # (useful when no pretrained VGG
+                                        # weights exist, as in this snapshot)
 
 
 @dataclass(frozen=True)

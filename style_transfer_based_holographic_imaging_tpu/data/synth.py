@@ -98,6 +98,10 @@ def synth_batch(
     idx_c = jax.random.randint(ks[1], (b,), 0, bank.shape[0])
     flips = jax.random.bernoulli(ks[2], 0.5, (2, b, 2))
     shifts = jax.random.randint(ks[3], (2, b, 2), -max_shift, max_shift + 1)
+    lo_s, hi_s = data.phase_scale_range
+    lo_g, hi_g = data.gamma_range
+    pscale = jax.random.uniform(ks[6], (2, b, 1, 1), minval=lo_s, maxval=hi_s)
+    pgamma = jax.random.uniform(ks[7], (2, b, 1, 1), minval=lo_g, maxval=hi_g)
 
     ds_list = jnp.asarray(data.style_distances, jnp.float32)
     dc_list = jnp.asarray(data.content_distances, jnp.float32)
@@ -111,8 +115,8 @@ def synth_batch(
         -physics.distance_normalize_constant + d_content / physics.distance_normalize
     ).reshape(b, 1, 1, 1)
 
-    digits_s = bank[idx_s]
-    digits_c = bank[idx_c]
+    digits_s = jnp.power(jnp.clip(bank[idx_s], 0.0, 1.0), pgamma[0]) * pscale[0]
+    digits_c = jnp.power(jnp.clip(bank[idx_c], 0.0, 1.0), pgamma[1]) * pscale[1]
     pad_cfg = ((0, 0), (pad, pad), (pad, pad))
     phase_s = jnp.pad(digits_s, pad_cfg)
     phase_c = jnp.pad(digits_c, pad_cfg)

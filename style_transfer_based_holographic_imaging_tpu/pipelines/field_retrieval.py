@@ -143,6 +143,8 @@ def evaluate_golden_suite(
     config: Optional[ExperimentConfig] = None,
     *,
     save_dir: Optional[str] = None,
+    style_override: Optional[Tuple[jax.Array, jax.Array]] = None,
+    dtype=None,
 ) -> Dict[str, Any]:
     """Run the bundled 20x5 golden suite and emit the reference's metrics.
 
@@ -155,10 +157,16 @@ def evaluate_golden_suite(
 
     config = config or ExperimentConfig()
     physics = config.physics
-    fn = make_retrieval_fn(physics, alpha=config.eval.alpha)
+    fn = make_retrieval_fn(physics, alpha=config.eval.alpha, dtype=dtype)
 
-    sm = jnp.asarray(goldens.style_mean)
-    ss = jnp.asarray(goldens.style_std)
+    if style_override is not None:
+        sm, ss = (jnp.asarray(style_override[0]), jnp.asarray(style_override[1]))
+    else:
+        # NB: the bundled goldens.style_mean/std belong to the reference's
+        # trained VGG; with freshly trained encoders pass style_override
+        # from pipelines.style_vector.extract_style_vector.
+        sm = jnp.asarray(goldens.style_mean)
+        ss = jnp.asarray(goldens.style_std)
 
     psnr_list, mae_list, distance_pairs = [], [], []
     montage_batches = []

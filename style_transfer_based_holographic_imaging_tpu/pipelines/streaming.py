@@ -1,0 +1,75 @@
+"""High-throughput streaming reconstruction (the red-blood-cell mode).
+
+The reference's RBC test split streams 100-300 frames per distance
+(utils/Data_loader.py:106-110) — the "dynamically flowing red blood cells,
+real-time" use case of its README. No dedicated script survives in its
+snapshot (SURVEY.md §3.4); here it is a first-class pipeline: a prefetched
+host->HBM input stream feeding one compiled retrieval program, emitting
+reconstructed fields batch by batch with throughput accounting.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Iterable, Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+from style_transfer_based_holographic_imaging_tpu.data.prefetch import prefetch_to_device
+from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
+    make_retrieval_fn,
+)
+
+__all__ = ["stream_retrieval", "StreamStats"]
+
+
+class StreamStats:
+    def __init__(self):
+        self.n_frames = 0
+        self.t_start = time.perf_counter()
+
+    @property
+    def elapsed(self) -> float:
+        return time.perf_counter() - self.t_start
+
+    @property
+    def frames_per_sec(self) -> float:
+        return self.n_frames / max(self.elapsed, 1e-9)
+
+
+def stream_retrieval(
+    params,
+    batches: Iterable[Dict[str, np.ndarray]],
+    style_vector: Tuple[np.ndarray, np.ndarray],
+    config: Optional[ExperimentConfig] = None,
+    *,
+    style_distance: float | None = None,
+    sharding: Optional[jax.sharding.Sharding] = None,
+    dtype=None,
+    stats: Optional[StreamStats] = None,
+) -> Iterator[Dict[str, jax.Array]]:
+    """Stream batches of intensity holograms through field retrieval.
+
+    Each input batch is a dict with ``holo`` (B, 1, H, W); batches are
+    prefetched to HBM while the previous batch computes. Yields the
+    retrieval outputs per batch (device arrays — convert lazily to overlap).
+    """
+    config = config or ExperimentConfig()
+    fn = make_retrieval_fn(config.physics, dtype=dtype)
+    sm = jnp.asarray(style_vector[0])
+    ss = jnp.asarray(style_vector[1])
+    d_s = (
+        config.data.style_distances[0] if style_distance is None else style_distance
+    )
+
+    for batch in prefetch_to_device(batches, sharding=sharding):
+        holo = batch["holo"]
+        b = holo.shape[0]
+        d_style = jnp.full((b, 1, 1, 1), d_s, jnp.float32)
+        out = fn(params, holo, sm, ss, d_style)
+        if stats is not None:
+            stats.n_frames += b
+        yield out

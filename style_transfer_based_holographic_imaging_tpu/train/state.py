@@ -71,11 +71,14 @@ def _label_params(params) -> Any:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """Adam with the AdaIN-style inverse-time lr decay, encoder frozen."""
+    """Adam with the AdaIN-style inverse-time lr decay; encoder frozen when
+    ``cfg.freeze_encoder`` (the reference's semantics, net.py:167-170)."""
     def lr_schedule(step):
         return cfg.lr / (1.0 + cfg.lr_decay * step)
 
     adam = optax.adam(lr_schedule)
+    if not cfg.freeze_encoder:
+        return adam
     return optax.multi_transform(
         {"train": adam, "frozen": optax.set_to_zero()}, _label_params
     )

@@ -1,0 +1,159 @@
+"""Dataset-layer tests: .mat trees (all three domain layouts), prefetch,
+streaming retrieval."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.io as sio
+
+from style_transfer_based_holographic_imaging_tpu.data.mat_loader import HoloMatDataset
+from style_transfer_based_holographic_imaging_tpu.data.prefetch import prefetch_to_device
+
+
+def _write_mat(path, key, arr):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    sio.savemat(path, {key: arr})
+
+
+@pytest.fixture
+def generic_tree(tmp_path):
+    root = tmp_path / "sample_domain"
+    rng = np.random.default_rng(0)
+    for d in (5.0, 6.0):
+        for j in range(3):
+            _write_mat(
+                str(root / "train" / "holography" / ("%1.2f" % d) / f"h{j}.mat"),
+                "holography",
+                rng.random((32, 32)).astype(np.float64),
+            )
+    return str(root)
+
+
+@pytest.fixture
+def poly_tree(tmp_path):
+    root = tmp_path / "polystyrene_bead"
+    rng = np.random.default_rng(0)
+    for fov in (1, 2):
+        for d in (5, 6):
+            _write_mat(
+                str(root / f"fov{fov}" / "test" / "holography" / str(d) / "h0.mat"),
+                "holography",
+                rng.random((16, 16)),
+            )
+            _write_mat(
+                str(root / f"fov{fov}" / "test" / "gt_amplitude" / f"gt_amplitude{d-4}.mat"),
+                "gt_amplitude",
+                rng.random((16, 16)),
+            )
+            _write_mat(
+                str(root / f"fov{fov}" / "test" / "gt_phase" / f"gt_phase{d-4}.mat"),
+                "gt_phase",
+                rng.random((16, 16)),
+            )
+    return str(root)
+
+
+@pytest.fixture
+def rbc_tree(tmp_path):
+    root = tmp_path / "red_blood_cell"
+    rng = np.random.default_rng(0)
+    for d, n in ((6.0, 5), (7.0, 3)):
+        for j in range(1, n + 1):
+            _write_mat(
+                str(root / "test" / "holography" / ("%1.1f" % d) / f"holography{j}.mat"),
+                "holography",
+                rng.random((16, 16)),
+            )
+    return str(root)
+
+
+class TestMatLoader:
+    def test_generic_train_tree(self, generic_tree):
+        ds = HoloMatDataset(generic_tree, "train", distances=[5.0, 6.0])
+        assert len(ds) == 6
+        item = ds[0]
+        assert item["holo"].shape == (1, 32, 32)
+        assert item["holo"].dtype == np.float32
+        assert float(item["distance"]) == 5.0
+
+    def test_poly_fov_tree_with_gt(self, poly_tree):
+        ds = HoloMatDataset(poly_tree, "test", distances=[5, 6])
+        assert ds.domain == "polystyrene"
+        assert len(ds) == 4  # 2 fovs x 2 distances x 1 file
+        item = ds[0]
+        assert "gt_amplitude" in item and "gt_phase" in item
+        assert item["gt_amplitude"].shape == (1, 16, 16)
+
+    def test_rbc_frame_counts(self, rbc_tree):
+        ds = HoloMatDataset(
+            rbc_tree, "test", distances=[6.0, 7.0], rbc_frames={6.0: 5, 7.0: 3}
+        )
+        assert ds.domain == "red_blood_cell"
+        assert len(ds) == 8
+        assert all(r.gt_amplitude_path is None for r in ds.records)
+
+    def test_batches(self, generic_tree):
+        ds = HoloMatDataset(generic_tree, "train", distances=[5.0, 6.0])
+        batches = list(ds.batches(4))
+        assert batches[0]["holo"].shape == (4, 1, 32, 32)
+        assert batches[0]["distance"].shape == (4, 1, 1, 1)
+        assert batches[1]["holo"].shape == (2, 1, 32, 32)
+        assert len(list(ds.batches(4, drop_remainder=True))) == 1
+
+
+class TestPrefetch:
+    def test_roundtrip_and_order(self):
+        batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(5)]
+        out = list(prefetch_to_device(iter(batches), buffer_size=2))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            assert float(np.asarray(b["x"])[0, 0]) == i
+
+    def test_producer_error_propagates(self):
+        def gen():
+            yield {"x": np.zeros((1,), np.float32)}
+            raise RuntimeError("boom")
+
+        it = prefetch_to_device(gen())
+        next(it)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(it)
+
+
+class TestStreaming:
+    def test_stream_retrieval_over_mat_tree(self, rbc_tree):
+        import jax
+        from style_transfer_based_holographic_imaging_tpu.config import (
+            DataConfig,
+            ExperimentConfig,
+            ModelConfig,
+        )
+        from style_transfer_based_holographic_imaging_tpu.models import init_net_params
+        from style_transfer_based_holographic_imaging_tpu.pipelines.streaming import (
+            stream_retrieval,
+            StreamStats,
+        )
+
+        ds = HoloMatDataset(
+            rbc_tree, "test", distances=[6.0], rbc_frames={6.0: 5}
+        )
+        params = init_net_params(jax.random.key(0), image_size=16)
+        rng = np.random.default_rng(0)
+        sv = (
+            rng.random((1, 1, 1, 512)).astype(np.float32),
+            rng.random((1, 1, 1, 512)).astype(np.float32) + 0.5,
+        )
+        stats = StreamStats()
+        outs = list(
+            stream_retrieval(
+                params,
+                ds.batches(2),
+                sv,
+                ExperimentConfig(data=DataConfig(style_distances=(6.0,))),
+                stats=stats,
+            )
+        )
+        assert stats.n_frames == 5
+        assert sum(o["amp_field"].shape[0] for o in outs) == 5
+        assert outs[0]["amp_field"].shape[-2:] == (16, 16)

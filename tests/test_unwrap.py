@@ -55,3 +55,52 @@ def test_unwrap_batched_and_jittable(rng):
     # congruence: output differs from input by exact multiples of 2 pi
     k = (out - wrapped) / (2 * np.pi)
     np.testing.assert_allclose(k, np.round(k), atol=1e-3)
+
+
+class TestNativeUnwrap:
+    """C++ reliability-sort unwrapper (native/unwrap.cc via ctypes)."""
+
+    def test_available(self):
+        from style_transfer_based_holographic_imaging_tpu.ops.unwrap_native import (
+            native_available,
+        )
+
+        assert native_available()
+
+    def test_ramp_exact(self):
+        from style_transfer_based_holographic_imaging_tpu.ops.unwrap_native import (
+            unwrap_phase_native,
+        )
+
+        y, x = np.mgrid[0:96, 0:96].astype(np.float32)
+        true = 0.2 * x + 0.11 * y
+        wrapped = np.angle(np.exp(1j * true)).astype(np.float32)
+        est = unwrap_phase_native(wrapped)
+        d = est - true
+        d -= d.mean()
+        assert np.abs(d).max() < 1e-5
+
+    def test_agrees_with_dct_unwrapper(self):
+        from style_transfer_based_holographic_imaging_tpu.ops.unwrap_native import (
+            unwrap_phase_native,
+        )
+
+        y, x = np.mgrid[0:64, 0:64].astype(np.float32)
+        true = 9.0 * np.exp(-(((x - 32) / 14) ** 2 + ((y - 32) / 14) ** 2))
+        wrapped = np.angle(np.exp(1j * true)).astype(np.float32)
+        a = unwrap_phase_native(wrapped[None, None])[0, 0]
+        b = np.asarray(unwrap_phase(jnp.asarray(wrapped[None, None])))[0, 0]
+        d = a - b
+        d -= d.mean()
+        assert np.abs(d).max() < 0.05
+
+    def test_batched_shapes(self, rng):
+        from style_transfer_based_holographic_imaging_tpu.ops.unwrap_native import (
+            unwrap_phase_native,
+        )
+
+        x = rng.uniform(-np.pi, np.pi, size=(3, 1, 16, 16)).astype(np.float32)
+        out = unwrap_phase_native(x)
+        assert out.shape == x.shape
+        k = (out - x) / (2 * np.pi)
+        np.testing.assert_allclose(k, np.round(k), atol=1e-4)
