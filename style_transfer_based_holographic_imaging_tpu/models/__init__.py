@@ -11,8 +11,16 @@ from style_transfer_based_holographic_imaging_tpu.models.net import (
     split_style_vector,
     init_net_params,
 )
+from style_transfer_based_holographic_imaging_tpu.models.ablations import (
+    HoloAutoEncoder,
+    TrivialSolutionNet,
+    ECALayer,
+)
 
 __all__ = [
+    "HoloAutoEncoder",
+    "TrivialSolutionNet",
+    "ECALayer",
     "VggEncoder",
     "AmpPhaseDecoder",
     "DistanceMLP",

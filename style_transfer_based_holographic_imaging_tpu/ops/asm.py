@@ -28,11 +28,31 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["angular_spectrum_kz", "propagate", "center_crop", "pad_replicate"]
+__all__ = [
+    "angular_spectrum_kz",
+    "propagate",
+    "center_crop",
+    "pad_replicate",
+    "set_asm_backend",
+]
+
+# Propagator backend: "xla" (composed fft2/ifft2, default), "pallas" (fused
+# single-pass VMEM kernel, kernels/asm_pallas.py), or "auto" (pallas on TPU
+# when the shape is eligible). Settable via env or set_asm_backend().
+_BACKEND = os.environ.get("STHI_ASM_BACKEND", "xla")
+
+
+def set_asm_backend(name: str) -> None:
+    """Select the propagator backend: 'xla' | 'pallas' | 'auto'."""
+    global _BACKEND
+    if name not in ("xla", "pallas", "auto"):
+        raise ValueError(f"unknown ASM backend {name!r}")
+    _BACKEND = name
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1), static_argnames=("pixel_size", "wavelength"))
@@ -113,6 +133,36 @@ def propagate(
     field = jnp.asarray(field)
     if not jnp.issubdtype(field.dtype, jnp.complexfloating):
         field = field.astype(jnp.complex64)
+    h, w = field.shape[-2], field.shape[-1]
+
+    backend = _BACKEND
+    eligible = pad and h % 2 == 0 and w % 2 == 0 and min(h, w) >= 16
+    if backend == "auto":
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        backend = "pallas" if (eligible and on_tpu) else "xla"
+    if backend == "pallas" and eligible:
+        from style_transfer_based_holographic_imaging_tpu.kernels.asm_pallas import (
+            propagate_pallas,
+        )
+
+        return propagate_pallas(
+            field, distance, wavelength=wavelength, pixel_size=pixel_size, pad=pad
+        )
+    return _propagate_xla(
+        field, distance, wavelength=wavelength, pixel_size=pixel_size, pad=pad
+    )
+
+
+def _propagate_xla(
+    field: jax.Array,
+    distance: jax.Array | float,
+    *,
+    wavelength: float,
+    pixel_size: float,
+    pad: bool = True,
+) -> jax.Array:
+    """The XLA-composed propagator (fft2 -> xH -> ifft2); always differentiable,
+    used directly by the Pallas kernel's backward pass."""
     h, w = field.shape[-2], field.shape[-1]
 
     if pad:
