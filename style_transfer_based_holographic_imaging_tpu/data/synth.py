@@ -31,6 +31,7 @@ __all__ = [
     "sklearn_digit_bank",
     "golden_digit_bank",
     "synth_batch",
+    "synth_interpolation_batch",
     "InfiniteHologramSampler",
 ]
 
@@ -142,6 +143,53 @@ def synth_batch(
         out["phase_style"] = phase_s
         out["phase_content"] = phase_c
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("data", "physics"))
+def synth_interpolation_batch(
+    key: jax.Array,
+    bank: jax.Array,
+    *,
+    data: DataConfig,
+    physics: PhysicsConfig,
+) -> Dict[str, jax.Array]:
+    """Distance-interpolation sweep: ONE content object, every style distance.
+
+    Mirrors ``mnist_loader_test(test_interpolation=True)``
+    (Data_loader.py:43-44,59-64): a single random digit is held fixed while
+    the style distance sweeps the full configured list, so the batch axis
+    enumerates re-rendering planes. Returns the same keys as
+    :func:`synth_batch` with ``B == len(data.style_distances)``, plus GT.
+    """
+    size = data.image_size
+    pad = data.digit_pad
+
+    ks = jax.random.split(key, 3)
+    idx = jax.random.randint(ks[0], (), 0, bank.shape[0])
+    dc_list = jnp.asarray(data.content_distances, jnp.float32)
+    d_c = dc_list[jax.random.randint(ks[1], (), 0, len(dc_list))]
+
+    ds_list = jnp.asarray(data.style_distances, jnp.float32)
+    b = len(data.style_distances)
+    norm = lambda d: -physics.distance_normalize_constant + d / physics.distance_normalize
+    d_style = norm(ds_list).reshape(b, 1, 1, 1)
+    d_content = jnp.broadcast_to(norm(d_c), (b, 1, 1, 1))
+
+    digit = jnp.clip(bank[idx], 0.0, 1.0)
+    phase = jnp.pad(digit, ((pad, pad), (pad, pad)))[None, None]  # (1,1,S,S)
+    phase = jnp.broadcast_to(phase, (b, 1, size, size))
+    amplitude = jnp.full((b, 1, size, size), data.amplitude, jnp.float32)
+
+    style_holo = holo_forward(amplitude, phase, d_style, physics)
+    content_holo = holo_forward(amplitude, phase, d_content, physics)
+    return {
+        "style_holo": jnp.sqrt(style_holo),
+        "content_holo": jnp.sqrt(content_holo),
+        "distance_style": d_style,
+        "distance_content": d_content,
+        "amplitude": amplitude,
+        "phase_content": phase,
+    }
 
 
 class InfiniteHologramSampler:

@@ -157,3 +157,57 @@ class TestStreaming:
         assert stats.n_frames == 5
         assert sum(o["amp_field"].shape[0] for o in outs) == 5
         assert outs[0]["amp_field"].shape[-2:] == (16, 16)
+
+
+class TestInterpolationSweep:
+    def test_sweep_batch(self):
+        import jax
+        import jax.numpy as jnp
+        from style_transfer_based_holographic_imaging_tpu.config import (
+            DataConfig,
+            PhysicsConfig,
+        )
+        from style_transfer_based_holographic_imaging_tpu.data.synth import (
+            synth_interpolation_batch,
+        )
+
+        data = DataConfig(
+            image_size=32,
+            digit_pad=8,
+            style_distances=(0.2, 0.3, 0.4),
+            content_distances=(0.5,),
+        )
+        bank = jnp.asarray(np.random.default_rng(0).random((4, 16, 16)), jnp.float32)
+        out = synth_interpolation_batch(
+            jax.random.key(0), bank, data=data, physics=PhysicsConfig()
+        )
+        assert out["style_holo"].shape == (3, 1, 32, 32)
+        # One content object held fixed across the sweep...
+        c = np.asarray(out["content_holo"])
+        np.testing.assert_allclose(c[0], c[1], atol=1e-6)
+        np.testing.assert_allclose(c[0], c[2], atol=1e-6)
+        # ...while the style plane sweeps the configured distances.
+        d_s = np.asarray(out["distance_style"]).reshape(-1)
+        np.testing.assert_allclose(d_s, [0.2, 0.3, 0.4], rtol=1e-6)
+        s = np.asarray(out["style_holo"])
+        assert np.abs(s[0] - s[1]).max() > 1e-4
+
+    def test_repackage_tool_dry_run(self, generic_tree, capsys):
+        import subprocess
+        import sys as _sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [
+                _sys.executable,
+                os.path.join(repo, "scripts", "repackage_mat_dataset.py"),
+                "--src", generic_tree,
+                "--dst", generic_tree + "_flat",
+                "--distances", "5:7",
+                "--dry-run",
+            ],
+            capture_output=True,
+            text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        assert "repackaged" in r.stdout
