@@ -221,6 +221,71 @@ def cmd_synth_bench(args):
     )
 
 
+def cmd_stream(args):
+    """Experimental-domain streaming inference (the reference's RBC real-time
+    use case, SURVEY.md §3.4) over a .mat hologram tree."""
+    _setup_backend(args)
+    import numpy as np
+    import jax
+
+    from style_transfer_based_holographic_imaging_tpu.config import (
+        DOMAIN_PRESETS,
+        ExperimentConfig,
+    )
+    from style_transfer_based_holographic_imaging_tpu.data.mat_loader import (
+        HoloMatDataset,
+    )
+    from style_transfer_based_holographic_imaging_tpu.pipelines.streaming import (
+        StreamStats,
+        stream_retrieval,
+    )
+
+    params = _load_params(args)
+    style = _load_style(args)
+    if style is None:
+        print("no style vector found — required for streaming", file=sys.stderr)
+        return 1
+
+    cfg = ExperimentConfig()
+    preset = DOMAIN_PRESETS.get(args.domain)
+    if preset is not None:
+        cfg = preset()
+    distances = (
+        [float(x) for x in args.distances.split(",")]
+        if args.distances
+        else list(cfg.data.content_distances)
+    )
+    ds = HoloMatDataset(args.root, args.image_set, distances, domain=args.domain)
+    if not len(ds):
+        print(f"no .mat records under {args.root}", file=sys.stderr)
+        return 1
+    print(f"streaming {len(ds)} frames from {args.root}", file=sys.stderr)
+
+    stats = StreamStats()
+    n = 0
+    for out in stream_retrieval(
+        params,
+        ds.batches(args.batch_size),
+        style,
+        cfg,
+        style_distance=args.style_distance,
+        stats=stats,
+    ):
+        n += int(out["amp_field"].shape[0])
+    jax.effects_barrier()
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.domain or 'mat'} streaming retrieval",
+                "frames": n,
+                "value": round(stats.frames_per_sec, 1),
+                "unit": "frames/sec/chip",
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="style_transfer_based_holographic_imaging_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -258,6 +323,17 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--batch-size", type=int, default=512)
     p.set_defaults(fn=cmd_synth_bench)
+
+    p = sub.add_parser("stream", help="streaming .mat-tree inference (RBC mode)")
+    _add_common(p)
+    p.add_argument("--root", type=str, required=True, help=".mat dataset root")
+    p.add_argument("--domain", type=str, default=None,
+                   help="generic|polystyrene|tissue|red_blood_cell")
+    p.add_argument("--image-set", type=str, default="test")
+    p.add_argument("--distances", type=str, default=None, help="comma list, mm")
+    p.add_argument("--style-distance", type=float, default=None)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.set_defaults(fn=cmd_stream)
 
     args = parser.parse_args(argv)
     return args.fn(args)

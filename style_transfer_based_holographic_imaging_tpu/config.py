@@ -175,3 +175,13 @@ def red_blood_cell_config() -> ExperimentConfig:
             content_distances=(4.0, 5.0, 6.0, 7.0, 8.0),
         ),
     )
+
+
+DOMAIN_PRESETS = {
+    "mnist": mnist_config,
+    "polystyrene": polystyrene_config,
+    "polystyrene_bead": polystyrene_config,
+    "tissue": polystyrene_config,
+    "red_blood_cell": red_blood_cell_config,
+    "rbc": red_blood_cell_config,
+}

@@ -1,0 +1,53 @@
+"""CLI surface tests (style_transfer_based_holographic_imaging_tpu.cli)."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.io as sio
+
+from style_transfer_based_holographic_imaging_tpu.cli import main
+
+
+class TestStreamCommand:
+    def test_stream_mat_tree(self, tmp_path, capsys):
+        root = tmp_path / "red_blood_cell"
+        holo_dir = root / "test" / "holography" / "6.0"
+        os.makedirs(holo_dir)
+        rng = np.random.default_rng(0)
+        for j in range(1, 5):
+            sio.savemat(
+                str(holo_dir / f"holography{j}.mat"),
+                {"holography": rng.random((32, 32))},
+            )
+        sv = tmp_path / "sv.npz"
+        np.savez(
+            str(sv),
+            mean=rng.random((1, 1, 1, 512)).astype(np.float32),
+            std=(rng.random((1, 1, 1, 512)) + 0.5).astype(np.float32),
+        )
+        rc = main(
+            [
+                "stream",
+                "--root", str(root),
+                "--domain", "red_blood_cell",
+                "--distances", "6.0",
+                "--style-vector", str(sv),
+                "--batch-size", "2",
+                "--cpu",
+            ]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert '"frames": 4' in out
+
+    def test_stream_empty_tree_errors(self, tmp_path):
+        rc = main(
+            ["stream", "--root", str(tmp_path), "--distances", "6.0",
+             "--style-vector", "/nonexistent.npz", "--cpu"]
+        )
+        assert rc == 1
+
+    def test_unknown_command_rejected(self):
+        with pytest.raises(SystemExit):
+            main(["definitely-not-a-command"])
