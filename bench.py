@@ -2,7 +2,10 @@
 
 Runs the full flagship inference program — sqrt -> VGG encode -> AdaIN
 (style vector) -> decode (A_t, phi_t) -> distance head -> ASM refocus ->
-DCT phase unwrap — on one TPU chip and prints ONE JSON line.
+DCT phase unwrap — on one TPU chip and prints ONE JSON line. Both ASM
+propagator backends (XLA-composed fft2 and the fused Pallas DFT-matmul
+kernel, kernels/asm_pallas.py) are timed; the best wins and is named in
+the metric.
 
 Baseline: the torch reference publishes no throughput numbers anywhere
 (BASELINE.md). ``vs_baseline`` is measured against an analytic estimate of
@@ -19,11 +22,36 @@ import time
 import numpy as np
 
 
+def _time_fn(fn, args, batch, n_iters=20, reps=3):
+    import jax
+    import jax.numpy as jnp
+
+    # warm-up / compile. NB: on the remote (axon) backend block_until_ready
+    # does not reliably block, so timing must force a host transfer of a
+    # value data-dependent on every iteration.
+    out = fn(*args)
+    float(jax.device_get(jnp.sum(out["ph_foc"])))
+
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(n_iters):
+            out = fn(*args)
+            s = jnp.sum(out["ph_foc"])
+            acc = s if acc is None else acc + s
+        float(jax.device_get(acc))
+        dt = time.perf_counter() - t0
+        best = max(best, batch * n_iters / dt)
+    return best
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
+    from style_transfer_based_holographic_imaging_tpu.ops import asm
     from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
         make_retrieval_fn,
     )
@@ -35,39 +63,38 @@ def main():
     batch = 256
     physics = PhysicsConfig()
     params = init_net_params(jax.random.key(0))
-    fn = make_retrieval_fn(physics, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     holo = jnp.asarray(rng.random((batch, 1, 128, 128), np.float32) * 0.6 + 0.05)
     sm = jnp.asarray(rng.random((1, 1, 1, 512), np.float32))
     ss = jnp.asarray(rng.random((1, 1, 1, 512), np.float32) + 0.5)
     d_style = jnp.full((batch, 1, 1, 1), 0.2, jnp.float32)
+    args = (params, holo, sm, ss, d_style)
 
-    # warm-up / compile. NB: on the remote (axon) backend block_until_ready
-    # does not reliably block, so timing must force a host transfer of a
-    # value data-dependent on every iteration.
-    out = fn(params, holo, sm, ss, d_style)
-    float(jax.device_get(jnp.sum(out["ph_foc"])))
+    results = {}
+    for backend in ("xla", "pallas"):
+        asm.set_asm_backend(backend)
+        try:
+            fn = make_retrieval_fn(physics, dtype=jnp.bfloat16)
+            results[backend] = _time_fn(fn, args, batch)
+            print(f"asm backend {backend}: {results[backend]:.1f} holo/s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — a backend failure must not kill the bench
+            print(f"asm backend {backend} failed: {e}", file=sys.stderr)
+    asm.set_asm_backend("xla")
 
-    n_iters = 20
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        acc = None
-        for _ in range(n_iters):
-            out = fn(params, holo, sm, ss, d_style)
-            s = jnp.sum(out["ph_foc"])
-            acc = s if acc is None else acc + s
-        float(jax.device_get(acc))
-        dt = time.perf_counter() - t0
-        best = max(best, batch * n_iters / dt)
+    if not results:
+        print(json.dumps({"metric": "MNIST field-retrieval throughput",
+                          "value": 0.0, "unit": "holograms/sec/chip",
+                          "vs_baseline": 0.0, "error": "all backends failed"}))
+        return
 
-    holos_per_sec = best
+    winner = max(results, key=results.get)
+    holos_per_sec = results[winner]
     baseline = 2000.0  # estimated torch reference on RTX4090 (see docstring)
     print(
         json.dumps(
             {
-                "metric": "MNIST field-retrieval throughput",
+                "metric": f"MNIST field-retrieval throughput (asm={winner})",
                 "value": round(holos_per_sec, 1),
                 "unit": "holograms/sec/chip",
                 "vs_baseline": round(holos_per_sec / baseline, 3),
