@@ -153,7 +153,43 @@ def cmd_train(args):
         import numpy as np
 
         bank = np.load(args.digit_bank)["bank"]
-    state = train(cfg, bank=bank)
+
+    state = None
+    if args.resume:
+        # Resume from the newest iter_* snapshot in the checkpoint dir; the
+        # infinite-sampler stream restarts at the restored step, so the data
+        # sequence continues deterministically (SURVEY.md §5 determinism).
+        import jax
+
+        from style_transfer_based_holographic_imaging_tpu.models import init_net_params
+        from style_transfer_based_holographic_imaging_tpu.train import (
+            create_train_state,
+            restore_checkpoint,
+        )
+
+        iters = sorted(
+            (
+                d
+                for d in (
+                    os.listdir(args.checkpoint_dir)
+                    if os.path.isdir(args.checkpoint_dir)
+                    else []
+                )
+                if d.startswith("iter_")
+            ),
+            key=lambda s: int(s.split("_")[1]),
+        )
+        if iters:
+            params = init_net_params(jax.random.key(args.seed))
+            state = create_train_state(params, cfg.train)
+            state = restore_checkpoint(
+                os.path.join(args.checkpoint_dir, iters[-1]), state
+            )
+            print(f"resumed from {iters[-1]} (step {int(state.step)})", file=sys.stderr)
+        else:
+            print("no iter_* snapshot found; training from scratch", file=sys.stderr)
+
+    state = train(cfg, bank=bank, state=state)
     from style_transfer_based_holographic_imaging_tpu.train import save_checkpoint
 
     path = save_checkpoint(state, cfg.train.checkpoint_dir)
@@ -307,6 +343,8 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", type=str, default="checkpoints")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--train-encoder", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the newest iter_* snapshot in --checkpoint-dir")
     p.add_argument("--supervised-weight", type=float, default=10.0)
     p.add_argument("--physics-weight", type=float, default=10.0)
     p.add_argument("--adv-weight", type=float, default=0.0)

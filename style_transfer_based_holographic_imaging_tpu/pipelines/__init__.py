@@ -5,5 +5,6 @@ from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval impo
     make_retrieval_fn,
     evaluate_golden_suite,
 )
+from style_transfer_based_holographic_imaging_tpu.pipelines.stylize import stylize
 
-__all__ = ["retrieval_step", "make_retrieval_fn", "evaluate_golden_suite"]
+__all__ = ["retrieval_step", "make_retrieval_fn", "evaluate_golden_suite", "stylize"]

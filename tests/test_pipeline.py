@@ -73,3 +73,26 @@ def test_retrieval_deterministic(goldens, params):
     b = fn(params, goldens.content_holo[0], goldens.style_mean, goldens.style_std,
            goldens.distance_style[0])
     np.testing.assert_array_equal(np.asarray(a["ph_foc"]), np.asarray(b["ph_foc"]))
+
+
+class TestStylize:
+    def test_stylize_shapes_and_alpha(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from style_transfer_based_holographic_imaging_tpu.models import init_net_params
+        from style_transfer_based_holographic_imaging_tpu.pipelines.stylize import stylize
+
+        params = init_net_params(jax.random.key(0), image_size=32)
+        rng = np.random.default_rng(0)
+        content = jnp.asarray(rng.random((2, 1, 32, 32), np.float32))
+        style = jnp.asarray(rng.random((2, 1, 32, 32), np.float32))
+        out = stylize(params, content, style, alpha=1.0)
+        assert out["amp"].shape == (2, 1, 32, 32)
+        assert out["phase"].shape == (2, 1, 32, 32)
+        # alpha=0 must equal a pure content round-trip (no style mixing).
+        out0 = stylize(params, content, style, alpha=0.0)
+        outc = stylize(params, content, content, alpha=1.0)
+        np.testing.assert_allclose(
+            np.asarray(out0["amp"]), np.asarray(outc["amp"]), rtol=1e-4, atol=1e-5
+        )
