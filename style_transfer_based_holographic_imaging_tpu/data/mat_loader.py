@@ -36,9 +36,22 @@ import numpy as np
 __all__ = ["MatRecord", "HoloMatDataset", "load_matfile"]
 
 
-def load_matfile(path: str) -> Dict[str, np.ndarray]:
-    """Read a MATLAB file (scipy.io; the reference does the same,
-    Data_loader.py:177-179)."""
+def load_matfile(path: str, key: Optional[str] = None) -> Dict[str, np.ndarray]:
+    """Read a MATLAB file.
+
+    When ``key`` is given and the native reader (native/libmatio.so, built
+    from matio.cc) can serve it, the variable is read without Python object
+    machinery; otherwise falls back to scipy.io — the reference's mechanism
+    (Data_loader.py:177-179).
+    """
+    if key is not None:
+        from style_transfer_based_holographic_imaging_tpu.data.mat_native import (
+            read_mat_2d,
+        )
+
+        arr = read_mat_2d(path, key)
+        if arr is not None:
+            return {key: arr}
     import scipy.io as sio
 
     return sio.loadmat(path)
@@ -179,16 +192,16 @@ class HoloMatDataset:
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         rec = self.records[i]
-        holo = np.asarray(load_matfile(rec.holo_path)[self.holo_key], np.float32)
+        holo = np.asarray(load_matfile(rec.holo_path, self.holo_key)[self.holo_key], np.float32)
         item = {
             "holo": holo[None] if holo.ndim == 2 else holo,
             "distance": np.float32(rec.distance),
         }
         if rec.gt_amplitude_path:
-            gt = load_matfile(rec.gt_amplitude_path)["gt_amplitude"]
+            gt = load_matfile(rec.gt_amplitude_path, "gt_amplitude")["gt_amplitude"]
             item["gt_amplitude"] = np.asarray(gt, np.float32)[None]
         if rec.gt_phase_path:
-            gt = load_matfile(rec.gt_phase_path)["gt_phase"]
+            gt = load_matfile(rec.gt_phase_path, "gt_phase")["gt_phase"]
             item["gt_phase"] = np.asarray(gt, np.float32)[None]
         return item
 

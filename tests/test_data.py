@@ -211,3 +211,56 @@ class TestInterpolationSweep:
         )
         assert r.returncode == 0, r.stderr
         assert "repackaged" in r.stdout
+
+
+class TestNativeMatReader:
+    def test_parity_with_scipy(self, tmp_path):
+        from style_transfer_based_holographic_imaging_tpu.data.mat_native import (
+            native_available,
+            read_mat_2d,
+        )
+
+        if not native_available():
+            pytest.skip("native/libmatio.so not built")
+        rng = np.random.default_rng(0)
+        cases = {
+            "plain_f64": rng.standard_normal((17, 23)),
+            "f32": rng.standard_normal((8, 8)).astype(np.float32),
+            "u8": (rng.random((5, 9)) * 255).astype(np.uint8),
+            "i16": (rng.random((4, 6)) * 1000 - 500).astype(np.int16),
+        }
+        for compress in (False, True):
+            for name, arr in cases.items():
+                p = str(tmp_path / f"{name}_{compress}.mat")
+                sio.savemat(p, {"holography": arr}, do_compression=compress)
+                out = read_mat_2d(p, "holography")
+                assert out is not None, f"{name} compress={compress}"
+                ref = sio.loadmat(p)["holography"]
+                np.testing.assert_allclose(out, ref.astype(np.float64))
+
+    def test_missing_variable_falls_back(self, tmp_path):
+        from style_transfer_based_holographic_imaging_tpu.data.mat_loader import (
+            load_matfile,
+        )
+        from style_transfer_based_holographic_imaging_tpu.data.mat_native import (
+            read_mat_2d,
+            native_available,
+        )
+
+        p = str(tmp_path / "x.mat")
+        sio.savemat(p, {"other": np.ones((3, 3))})
+        if native_available():
+            assert read_mat_2d(p, "holography") is None
+        # keyed load falls back to scipy and still exposes the real variable
+        d = load_matfile(p, "holography")
+        assert "other" in d
+
+    def test_dataset_uses_native_path(self, generic_tree):
+        from style_transfer_based_holographic_imaging_tpu.data.mat_loader import (
+            HoloMatDataset,
+        )
+
+        ds = HoloMatDataset(generic_tree, "train", (5.0, 6.0))
+        item = ds[0]
+        assert item["holo"].shape == (1, 32, 32)
+        assert np.isfinite(item["holo"]).all()
