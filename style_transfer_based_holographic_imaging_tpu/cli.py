@@ -68,10 +68,13 @@ def _load_params(args):
             )
             if iters:
                 sub = os.path.join(ckpt, iters[-1])
-        target = {"params": jax.device_get(params)}
         try:
-            restored = ocp.StandardCheckpointer().restore(os.path.abspath(sub), target)
-            params = restored["params"]
+            # Target-less restore: a params-only release checkpoint and a full
+            # train-state iter_* snapshot have different tree structures, and
+            # orbax rejects partial targets — restoring the raw pytree and
+            # extracting "params" handles both.
+            restored = ocp.StandardCheckpointer().restore(os.path.abspath(sub))
+            params = restored["params"] if "params" in restored else restored
             print(f"loaded checkpoint {sub}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"checkpoint load failed ({e}); using random init", file=sys.stderr)
