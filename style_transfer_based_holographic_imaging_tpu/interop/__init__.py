@@ -8,6 +8,7 @@ from style_transfer_based_holographic_imaging_tpu.interop.torch_weights import (
     convert_decoder_state_dict,
     convert_distance_state_dict,
     load_style_vector,
+    save_style_vector_pt,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "convert_decoder_state_dict",
     "convert_distance_state_dict",
     "load_style_vector",
+    "save_style_vector_pt",
 ]

@@ -39,6 +39,7 @@ __all__ = [
     "convert_decoder_state_dict",
     "convert_distance_state_dict",
     "load_style_vector",
+    "save_style_vector_pt",
 ]
 
 
@@ -194,3 +195,19 @@ def load_style_vector(path: str) -> Tuple[np.ndarray, np.ndarray]:
     mean = sv[0].reshape(1, 1, 1, c)
     std = sv[1].reshape(1, 1, 1, c)
     return mean, std
+
+
+def save_style_vector_pt(mean: np.ndarray, std: np.ndarray, path: str) -> None:
+    """Export a style vector in the reference's on-disk layout — a torch
+    float32 tensor of shape (2, C, 1, 1), row 0 = means, row 1 = stds
+    (consumed by net.py:238) — so checkpoints minted here interoperate with
+    the torch implementation."""
+    torch = _torch()
+    c = int(np.asarray(mean).size)
+    sv = np.stack(
+        [
+            np.asarray(mean, np.float32).reshape(c, 1, 1),
+            np.asarray(std, np.float32).reshape(c, 1, 1),
+        ]
+    )
+    torch.save(torch.from_numpy(sv), path)

@@ -254,3 +254,37 @@ def test_split_style_vector_layouts():
     sv_multi = np.concatenate([np.full((3, 1, 1, 512), 1.0), np.full((3, 1, 1, 512), 4.0)])
     m2, s2 = split_style_vector(jnp.asarray(sv_multi.astype(np.float32)))
     assert m2.shape == (3, 1, 1, 512) and float(s2[0, 0, 0, 0]) == 4.0
+
+
+class TestStyleVectorInterop:
+    def test_pt_roundtrip(self, tmp_path):
+        from style_transfer_based_holographic_imaging_tpu.interop.torch_weights import (
+            load_style_vector,
+            save_style_vector_pt,
+        )
+
+        rng2 = np.random.default_rng(0)
+        mean = rng2.random((1, 1, 1, 512)).astype(np.float32)
+        std = (rng2.random((1, 1, 1, 512)) + 0.5).astype(np.float32)
+        p = str(tmp_path / "style_vector.pt")
+        save_style_vector_pt(mean, std, p)
+        m2, s2 = load_style_vector(p)
+        np.testing.assert_array_equal(mean, m2)
+        np.testing.assert_array_equal(std, s2)
+
+    def test_reads_reference_artifact(self):
+        """The real bundled artifact loads with the documented layout
+        (style_representation/MNIST/style_vector.pt: (2, 512, 1, 1))."""
+        import os
+
+        from style_transfer_based_holographic_imaging_tpu.interop.torch_weights import (
+            load_style_vector,
+        )
+
+        path = "/root/reference/style_representation/MNIST/style_vector.pt"
+        if not os.path.isfile(path):
+            pytest.skip("reference artifact not mounted")
+        mean, std = load_style_vector(path)
+        assert mean.shape == (1, 1, 1, 512)
+        assert std.shape == (1, 1, 1, 512)
+        assert np.all(std >= 0)
