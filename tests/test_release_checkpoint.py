@@ -1,0 +1,59 @@
+"""Release-checkpoint regression gate.
+
+Once a trained checkpoint is promoted to checkpoints/release (see
+scripts/promote_release.py), the golden 100-sample suite must keep meeting
+the recorded quality bar. Skips cleanly in a fresh clone with no weights —
+the reference's own snapshot ships no weights either (.MISSING_LARGE_BLOBS).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RELEASE = os.path.join(REPO, "checkpoints", "release")
+STYLE = os.path.join(REPO, "checkpoints", "style_vector.npz")
+METRICS = os.path.join(REPO, "checkpoints", "golden_metrics.json")
+
+
+@pytest.mark.skipif(
+    not (os.path.isdir(RELEASE) and os.path.isfile(STYLE)),
+    reason="no release checkpoint minted",
+)
+class TestReleaseCheckpoint:
+    @pytest.fixture(scope="class")
+    def metrics(self):
+        import jax
+        import orbax.checkpoint as ocp
+
+        from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+        from style_transfer_based_holographic_imaging_tpu.data import load_golden_suite
+        from style_transfer_based_holographic_imaging_tpu.pipelines import (
+            evaluate_golden_suite,
+        )
+
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(RELEASE))
+        params = restored["params"]
+        sv = np.load(STYLE)
+        goldens = load_golden_suite()
+        return evaluate_golden_suite(
+            params,
+            goldens,
+            ExperimentConfig(),
+            style_override=(sv["mean"], sv["std"]),
+        )
+
+    def test_meets_recorded_bar(self, metrics):
+        """Metrics must not regress below 95% of the promoted values."""
+        with open(METRICS) as f:
+            recorded = json.load(f)
+        assert metrics["mean_psnr"] >= 0.95 * recorded["mean_psnr"]
+        assert metrics["r2"] >= min(0.95 * recorded["r2"], recorded["r2"])
+
+    def test_distance_predictions_in_range(self, metrics):
+        """Predictions stay within the golden boxplot's 400-800 um clusters'
+        physical neighbourhood (output/MNIST_test/distance_prediction.png)."""
+        d = np.asarray(metrics["distance_pred_um"])
+        assert np.all((d > 0.0) & (d < 1500.0))
