@@ -260,6 +260,76 @@ def cmd_synth_bench(args):
     )
 
 
+def cmd_sweep(args):
+    """Distance-interpolation sweep (the reference's test_interpolation mode,
+    Data_loader.py:43-44,59-64): hold one object fixed, re-render it at every
+    configured style distance, and save a montage with one row per plane."""
+    _setup_backend(args)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from style_transfer_based_holographic_imaging_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        PhysicsConfig,
+    )
+    from style_transfer_based_holographic_imaging_tpu.data import load_golden_suite
+    from style_transfer_based_holographic_imaging_tpu.data.synth import (
+        golden_digit_bank,
+        synth_interpolation_batch,
+    )
+    from style_transfer_based_holographic_imaging_tpu.eval.report import to_image
+    from style_transfer_based_holographic_imaging_tpu.pipelines import retrieval_step
+
+    params = _load_params(args)
+    style = _load_style(args)
+    physics = PhysicsConfig()
+    distances = tuple(float(x) for x in args.style_distances.split(","))
+    data = DataConfig(style_distances=distances)
+
+    goldens = load_golden_suite()
+    bank = jnp.asarray(golden_digit_bank(goldens))
+    batch = synth_interpolation_batch(
+        jax.random.key(args.seed), bank, data=data, physics=physics
+    )
+
+    if style is None:
+        print("no style vector found — required for sweep", file=sys.stderr)
+        return 1
+    sm, ss = (jnp.asarray(style[0]), jnp.asarray(style[1]))
+    out = retrieval_step(
+        params,
+        batch["content_holo"] ** 2,  # retrieval_step takes intensity
+        sm,
+        ss,
+        batch["distance_style"],
+        physics=physics,
+    )
+
+    rows = []
+    for i in range(len(distances)):
+        rows.append(
+            np.concatenate(
+                [
+                    np.asarray(batch["content_holo"])[i, 0],
+                    np.asarray(out["amp_field"])[i, 0],
+                    np.asarray(out["amp_foc"])[i, 0],
+                    np.asarray(out["ph_foc"])[i, 0],
+                ],
+                axis=1,
+            )
+        )
+    grid = np.concatenate(rows, axis=0)
+    os.makedirs(args.save_dir, exist_ok=True)
+    from PIL import Image
+
+    path = os.path.join(args.save_dir, "interpolation_sweep.png")
+    Image.fromarray(to_image(grid)).save(path)
+    print(f"sweep montage ({len(distances)} planes): {path}")
+    return 0
+
+
 def cmd_stream(args):
     """Experimental-domain streaming inference (the reference's RBC real-time
     use case, SURVEY.md §3.4) over a .mat hologram tree."""
@@ -364,6 +434,13 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--batch-size", type=int, default=512)
     p.set_defaults(fn=cmd_synth_bench)
+
+    p = sub.add_parser("sweep", help="distance-interpolation sweep montage")
+    _add_common(p)
+    p.add_argument("--style-distances", type=str, default="0.2,0.4,0.6,0.8")
+    p.add_argument("--save-dir", type=str, default="output/sweep")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("stream", help="streaming .mat-tree inference (RBC mode)")
     _add_common(p)
