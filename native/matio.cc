@@ -76,10 +76,17 @@ bool read_element(const Slice& s, size_t off, Element* out) {
   if (off + 8 + nbytes > s.n) return false;
   out->data = {s.p + off + 8, nbytes};
   size_t padded = (nbytes + 7) & ~size_t(7);
-  // miCOMPRESSED streams are NOT padded in some writers; the caller handles
-  // that case by re-synchronising, but clamping keeps us in bounds.
   out->total = 8 + (off + 8 + padded <= s.n ? padded : nbytes);
   return true;
+}
+
+// Does `off` look like the start of a data-element tag?
+bool plausible_tag(const Slice& s, size_t off) {
+  if (off + 8 > s.n) return false;
+  uint32_t word0;
+  std::memcpy(&word0, s.p + off, 4);
+  uint32_t type = (word0 >> 16) ? (word0 & 0xffff) : word0;
+  return type >= miINT8 && type <= miUTF8;
 }
 
 double convert_at(const Slice& d, uint32_t type, size_t i) {
@@ -136,9 +143,15 @@ int parse_matrix(const Slice& body, const char* want, double* out,
   int32_t d0, d1;
   std::memcpy(&d0, dims.data.p, 4);
   std::memcpy(&d1, dims.data.p + 4, 4);
-  *rows = d0;
-  *cols = d1;
-  if (out == nullptr) return 1;  // dims query
+  if (out == nullptr) {
+    *rows = d0;
+    *cols = d1;
+    return 1;  // dims query
+  }
+  // Fill phase: *rows/*cols carry the caller's buffer dimensions (from the
+  // dims query). Re-validate so a file rewritten between the two reads can
+  // never overflow the caller's allocation.
+  if (*rows != d0 || *cols != d1) return -18;
   if (is_complex) return -15;
 
   Element real;
@@ -180,7 +193,10 @@ extern "C" {
 
 // Read the real 2D numeric variable `var` from a v5 MAT file.
 //   out == NULL: dims query — sets *rows/*cols, returns 0.
-//   out != NULL: fills out (row-major doubles, rows*cols), returns 0.
+//   out != NULL: *rows/*cols are INPUTS (the buffer's dims from the query);
+//                fills out (row-major doubles, rows*cols), returns 0. A dims
+//                mismatch (file changed between calls) returns -18 instead
+//                of writing out of bounds.
 // Errors: -1 io, -2 not a v5 MAT, -3 variable not found, < -9 parse error.
 int mat_read2d(const char* path, const char* var, double* out,
                int64_t* rows, int64_t* cols) {
@@ -218,6 +234,14 @@ int mat_read2d(const char* path, const char* var, double* out,
           if (r == 1) return 0;
           if (r < 0) return r;
         }
+      }
+      // miCOMPRESSED elements are written UNPADDED by most writers (incl.
+      // scipy/MATLAB), while everything else pads to 8 bytes. Re-synchronise
+      // on whichever next offset looks like a valid tag.
+      size_t unpadded = off + 8 + el.data.n;
+      if (plausible_tag(s, unpadded) || unpadded >= s.n) {
+        off = unpadded;
+        continue;
       }
     }
     off += el.total;

@@ -32,13 +32,12 @@ def main():
 
     import orbax.checkpoint as ocp
 
-    iters = sorted(
-        (d for d in os.listdir(args.run) if d.startswith("iter_")),
-        key=lambda s: int(s.split("_")[1]),
-    )
-    if not iters:
+    from style_transfer_based_holographic_imaging_tpu.train import latest_snapshot
+
+    src = latest_snapshot(args.run)
+    if src is None:
         sys.exit(f"no iter_* snapshot under {args.run}")
-    src = os.path.abspath(os.path.join(args.run, iters[-1]))
+    src = os.path.abspath(src)
 
     ckptr = ocp.StandardCheckpointer()
     # Target-less restore (raw pytree) — avoids needing the run's exact

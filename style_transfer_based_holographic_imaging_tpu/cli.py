@@ -59,15 +59,12 @@ def _load_params(args):
 
         # accept either a raw params checkpoint or a train-state dir
         sub = ckpt
-        if os.path.isdir(os.path.join(ckpt, "params")):
-            pass
-        else:
-            iters = sorted(
-                (d for d in os.listdir(ckpt) if d.startswith("iter_")),
-                key=lambda s: int(s.split("_")[1]),
+        if not os.path.isdir(os.path.join(ckpt, "params")):
+            from style_transfer_based_holographic_imaging_tpu.train import (
+                latest_snapshot,
             )
-            if iters:
-                sub = os.path.join(ckpt, iters[-1])
+
+            sub = latest_snapshot(ckpt) or ckpt
         try:
             # Target-less restore: a params-only release checkpoint and a full
             # train-state iter_* snapshot have different tree structures, and
@@ -163,32 +160,37 @@ def cmd_train(args):
         # infinite-sampler stream restarts at the restored step, so the data
         # sequence continues deterministically (SURVEY.md §5 determinism).
         import jax
+        import jax.numpy as jnp
 
-        from style_transfer_based_holographic_imaging_tpu.models import init_net_params
+        from style_transfer_based_holographic_imaging_tpu.models import (
+            PatchDiscriminator,
+            init_net_params,
+        )
         from style_transfer_based_holographic_imaging_tpu.train import (
             create_train_state,
+            latest_snapshot,
             restore_checkpoint,
         )
 
-        iters = sorted(
-            (
-                d
-                for d in (
-                    os.listdir(args.checkpoint_dir)
-                    if os.path.isdir(args.checkpoint_dir)
-                    else []
-                )
-                if d.startswith("iter_")
-            ),
-            key=lambda s: int(s.split("_")[1]),
-        )
-        if iters:
+        snap = latest_snapshot(args.checkpoint_dir)
+        if snap:
             params = init_net_params(jax.random.key(args.seed))
-            state = create_train_state(params, cfg.train)
-            state = restore_checkpoint(
-                os.path.join(args.checkpoint_dir, iters[-1]), state
+            # Mirror train()'s fresh-start construction exactly — including
+            # the discriminator when the adversarial loss is on — so a
+            # resumed run optimizes the same objective.
+            disc_params = None
+            if cfg.train.adv_weight:
+                disc = PatchDiscriminator(image_size=cfg.data.image_size)
+                disc_params = disc.init(
+                    jax.random.key(args.seed + 1),
+                    jnp.ones((1, cfg.data.image_size, cfg.data.image_size, 1)),
+                )
+            state = create_train_state(params, cfg.train, disc_params=disc_params)
+            state = restore_checkpoint(snap, state)
+            print(
+                f"resumed from {os.path.basename(snap)} (step {int(state.step)})",
+                file=sys.stderr,
             )
-            print(f"resumed from {iters[-1]} (step {int(state.step)})", file=sys.stderr)
         else:
             print("no iter_* snapshot found; training from scratch", file=sys.stderr)
 
@@ -271,7 +273,6 @@ def cmd_sweep(args):
 
     from style_transfer_based_holographic_imaging_tpu.config import (
         DataConfig,
-        ExperimentConfig,
         PhysicsConfig,
     )
     from style_transfer_based_holographic_imaging_tpu.data import load_golden_suite
@@ -282,8 +283,12 @@ def cmd_sweep(args):
     from style_transfer_based_holographic_imaging_tpu.eval.report import to_image
     from style_transfer_based_holographic_imaging_tpu.pipelines import retrieval_step
 
-    params = _load_params(args)
     style = _load_style(args)
+    if style is None:
+        print("no style vector found — required for sweep", file=sys.stderr)
+        return 1
+
+    params = _load_params(args)
     physics = PhysicsConfig()
     distances = tuple(float(x) for x in args.style_distances.split(","))
     data = DataConfig(style_distances=distances)
@@ -293,10 +298,6 @@ def cmd_sweep(args):
     batch = synth_interpolation_batch(
         jax.random.key(args.seed), bank, data=data, physics=physics
     )
-
-    if style is None:
-        print("no style vector found — required for sweep", file=sys.stderr)
-        return 1
     sm, ss = (jnp.asarray(style[0]), jnp.asarray(style[1]))
     out = retrieval_step(
         params,
@@ -345,7 +346,6 @@ def cmd_stream(args):
         HoloMatDataset,
     )
     from style_transfer_based_holographic_imaging_tpu.pipelines.streaming import (
-        StreamStats,
         stream_retrieval,
     )
 
@@ -370,25 +370,47 @@ def cmd_stream(args):
         return 1
     print(f"streaming {len(ds)} frames from {args.root}", file=sys.stderr)
 
-    stats = StreamStats()
+    import time as _time
+
+    import jax.numpy as jnp
+
     n = 0
+    n_steady = 0
+    t_steady = None
+    last = None
     for out in stream_retrieval(
         params,
         ds.batches(args.batch_size),
         style,
         cfg,
         style_distance=args.style_distance,
-        stats=stats,
     ):
-        n += int(out["amp_field"].shape[0])
-    jax.effects_barrier()
+        b = int(out["amp_field"].shape[0])
+        n += b
+        last = out
+        if t_steady is None:
+            # First batch paid the jit compile — sync on it and start the
+            # steady-state clock after.
+            float(jax.device_get(jnp.sum(out["amp_field"])))
+            t_steady = _time.perf_counter()
+        else:
+            n_steady += b
+    if last is None:
+        return 1
+    # Device execution is stream-ordered, so syncing on the last output's
+    # data bounds all earlier batches (plain block_until_ready is unreliable
+    # on the remote axon backend — see bench.py).
+    float(jax.device_get(jnp.sum(last["amp_field"])))
+    dt = max(_time.perf_counter() - t_steady, 1e-9)
+    fps = n_steady / dt if n_steady else n / dt
     print(
         json.dumps(
             {
                 "metric": f"{args.domain or 'mat'} streaming retrieval",
                 "frames": n,
-                "value": round(stats.frames_per_sec, 1),
+                "value": round(fps, 1),
                 "unit": "frames/sec/chip",
+                "note": "steady-state (first batch excluded)" if n_steady else "single batch",
             }
         )
     )

@@ -48,7 +48,14 @@ _BACKEND = os.environ.get("STHI_ASM_BACKEND", "xla")
 
 
 def set_asm_backend(name: str) -> None:
-    """Select the propagator backend: 'xla' | 'pallas' | 'auto'."""
+    """Select the propagator backend: 'xla' | 'pallas' | 'auto'.
+
+    TRACE-TIME setting: jit caches whichever backend was active when a
+    function was first traced — switching afterwards does not retrace
+    already-compiled programs. Set the backend before building/first-calling
+    jitted pipelines (bench.py rebuilds its retrieval fn per backend for
+    exactly this reason).
+    """
     global _BACKEND
     if name not in ("xla", "pallas", "auto"):
         raise ValueError(f"unknown ASM backend {name!r}")

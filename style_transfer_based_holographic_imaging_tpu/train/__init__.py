@@ -12,6 +12,7 @@ from style_transfer_based_holographic_imaging_tpu.train.state import (
     create_train_state,
     save_checkpoint,
     restore_checkpoint,
+    latest_snapshot,
 )
 from style_transfer_based_holographic_imaging_tpu.train.loop import (
     generator_loss_fn,
@@ -29,6 +30,7 @@ __all__ = [
     "create_train_state",
     "save_checkpoint",
     "restore_checkpoint",
+    "latest_snapshot",
     "generator_loss_fn",
     "make_train_step",
     "train",

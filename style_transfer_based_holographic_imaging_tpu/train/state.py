@@ -109,31 +109,69 @@ def save_checkpoint(state: TrainState, ckpt_dir: str, step: Optional[int] = None
     step = int(state.step) if step is None else step
     path = os.path.abspath(os.path.join(ckpt_dir, f"iter_{step}"))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(
-        path,
-        {
-            "step": jax.device_get(state.step),
-            "params": jax.device_get(state.params),
-            "opt_state": jax.device_get(state.opt_state),
-        },
-        force=True,
-    )
+    tree = {
+        "step": jax.device_get(state.step),
+        "params": jax.device_get(state.params),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    if state.disc_params is not None:
+        # Adversarial runs carry the discriminator + its optimizer state, so
+        # a resumed run continues the same two-player game.
+        tree["disc_params"] = jax.device_get(state.disc_params)
+        tree["disc_opt_state"] = jax.device_get(state.disc_opt_state)
+    ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
     return path
 
 
 def restore_checkpoint(path: str, state: TrainState) -> TrainState:
+    """Restore into ``state``'s structure (typed targets keep optax
+    namedtuple optimizer states intact); tolerates older snapshots without
+    the discriminator fields."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    target = {
+    base_target = {
         "step": jax.device_get(state.step),
         "params": jax.device_get(state.params),
         "opt_state": jax.device_get(state.opt_state),
     }
-    restored = ckptr.restore(os.path.abspath(path), target)
-    return state.replace(
+    restored = None
+    if state.disc_params is not None:
+        full_target = dict(
+            base_target,
+            disc_params=jax.device_get(state.disc_params),
+            disc_opt_state=jax.device_get(state.disc_opt_state),
+        )
+        try:
+            restored = ckptr.restore(os.path.abspath(path), full_target)
+        except Exception:  # noqa: BLE001 — snapshot predates disc fields
+            restored = None
+    if restored is None:
+        restored = ckptr.restore(os.path.abspath(path), base_target)
+    state = state.replace(
         step=jnp.asarray(restored["step"]),
         params=restored["params"],
         opt_state=restored["opt_state"],
     )
+    if "disc_params" in restored:
+        state = state.replace(
+            disc_params=restored["disc_params"],
+            disc_opt_state=restored["disc_opt_state"],
+        )
+    return state
+
+
+def latest_snapshot(ckpt_dir: str) -> Optional[str]:
+    """Path of the newest ``iter_<n>`` snapshot in ``ckpt_dir`` (or None).
+
+    The single source of truth for snapshot discovery — used by the CLI
+    loader, ``train --resume`` and the release-promotion tool.
+    """
+    if not os.path.isdir(ckpt_dir):
+        return None
+    iters = sorted(
+        (d for d in os.listdir(ckpt_dir) if d.startswith("iter_")),
+        key=lambda s: int(s.split("_")[1]),
+    )
+    return os.path.join(ckpt_dir, iters[-1]) if iters else None

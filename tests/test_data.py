@@ -264,3 +264,22 @@ class TestNativeMatReader:
         item = ds[0]
         assert item["holo"].shape == (1, 32, 32)
         assert np.isfinite(item["holo"]).all()
+
+    def test_multi_variable_compressed(self, tmp_path):
+        """Regression: element-scan must re-sync past UNPADDED miCOMPRESSED
+        elements so variables after the first stay reachable."""
+        from style_transfer_based_holographic_imaging_tpu.data.mat_native import (
+            native_available,
+            read_mat_2d,
+        )
+
+        if not native_available():
+            pytest.skip("native/libmatio.so not built")
+        rng = np.random.default_rng(1)
+        a, b = rng.random((7, 5)), rng.random((33, 17))
+        for comp in (False, True):
+            p = str(tmp_path / f"multi_{comp}.mat")
+            sio.savemat(p, {"first": a, "holography": b}, do_compression=comp)
+            out = read_mat_2d(p, "holography")
+            assert out is not None, f"compress={comp}"
+            np.testing.assert_allclose(out, b)

@@ -38,10 +38,18 @@ class TestReleaseCheckpoint:
         params = restored["params"]
         sv = np.load(STYLE)
         goldens = load_golden_suite()
+        # Evaluate under the promoted run's own config (copied alongside by
+        # promote_release.py) so the 95% bar compares like with like.
+        cfg_path = os.path.join(REPO, "checkpoints", "config.json")
+        if os.path.isfile(cfg_path):
+            with open(cfg_path) as f:
+                cfg = ExperimentConfig.from_json(f.read())
+        else:
+            cfg = ExperimentConfig()
         return evaluate_golden_suite(
             params,
             goldens,
-            ExperimentConfig(),
+            cfg,
             style_override=(sv["mean"], sv["std"]),
         )
 
