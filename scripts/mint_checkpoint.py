@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--distance-weight", type=float, default=10.0)
     ap.add_argument("--adv-weight", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bank", choices=("sklearn", "golden", "mixed"), default="mixed",
+                    help="digit bank for hologram synthesis: sklearn digits, the "
+                    "golden suite's MNIST GT digits, or both (golden oversampled "
+                    "to ~50%% — the reference trains on the MNIST distribution "
+                    "its test set is drawn from; sklearn-only provably does not "
+                    "transfer)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -78,8 +84,22 @@ def main():
     with open(os.path.join(args.out, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
+    import numpy as np
+
     t0 = time.time()
-    bank = sklearn_digit_bank()
+    if args.bank == "sklearn":
+        bank = sklearn_digit_bank()
+    else:
+        from style_transfer_based_holographic_imaging_tpu.data.synth import (
+            golden_digit_bank,
+        )
+
+        golden = golden_digit_bank(load_golden_suite())
+        if args.bank == "golden":
+            bank = golden
+        else:
+            sk = sklearn_digit_bank()
+            bank = np.concatenate([sk, np.tile(golden, (18, 1, 1))], axis=0)
     state = train(cfg, bank=bank)
     print(f"training done in {time.time()-t0:.0f}s", flush=True)
     ckpt_path = save_checkpoint(state, args.out)

@@ -86,6 +86,13 @@ class TrainConfig:
     supervised_weight: float = 10.0      # direct field supervision (synthetic data)
     tv_weight: float = 0.0
     adv_weight: float = 0.0              # PatchGAN adversarial term
+    use_dropout: bool = False
+    # ^ train-time dropout in the distance MLP. The reference trains with
+    # Dropout(0.5) (net.py:271-303), but its Dropout -> InstanceNorm stack
+    # behaves very differently with dropout on vs off: a head trained
+    # stochastic scores R^2 ~0.99 in train mode yet ~-0.3 in eval mode on
+    # the SAME data (measured). With an infinite synthesized stream there is
+    # nothing to regularize, so the default trains deterministically.
     checkpoint_every: int = 5000
     log_every: int = 100
     checkpoint_dir: str = "checkpoints"

@@ -78,7 +78,7 @@ def generator_loss_fn(
         1.0,
         field_retrieval=True,
         unknown_distance=True,
-        deterministic=False,
+        deterministic=not cfg.use_dropout,
         rngs={"dropout": rng},
     )
 
