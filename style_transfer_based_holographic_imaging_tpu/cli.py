@@ -112,9 +112,19 @@ def cmd_eval(args):
     goldens = load_golden_suite()
     cfg = ExperimentConfig()
     save_dir = os.path.join(args.save_dir, args.exp_name) if args.save_dir else None
-    metrics = evaluate_golden_suite(
-        params, goldens, cfg, save_dir=save_dir, style_override=style
-    )
+
+    import contextlib
+
+    profile_cm = contextlib.nullcontext()
+    if args.profile:
+        from style_transfer_based_holographic_imaging_tpu.utils.profiling import trace
+
+        profile_cm = trace(args.profile)
+        print(f"writing profiler trace to {args.profile}", file=sys.stderr)
+    with profile_cm:
+        metrics = evaluate_golden_suite(
+            params, goldens, cfg, save_dir=save_dir, style_override=style
+        )
     print(f"Mean PSNR: {metrics['mean_psnr']:.4f}")
     print(f"Mean MAE: {metrics['mean_mae']:.6f}")
     print(f"R2 score: {metrics['r2']:.6f}")
@@ -426,6 +436,8 @@ def main(argv=None):
     p.add_argument("--save-dir", type=str, default="output")
     p.add_argument("--exp-name", type=str, default="MNIST_test")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--profile", type=str, default=None, metavar="LOGDIR",
+                   help="capture a TensorBoard/XPlane trace of the evaluation")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("train", help="train on synthesized holograms")
