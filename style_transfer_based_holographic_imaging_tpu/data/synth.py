@@ -18,7 +18,7 @@ GT digits via ``golden_digit_bank``.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterator, Optional, Sequence
+from typing import Dict, Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -30,6 +30,8 @@ from style_transfer_based_holographic_imaging_tpu.ops import holo_forward
 __all__ = [
     "sklearn_digit_bank",
     "golden_digit_bank",
+    "bead_bank",
+    "rbc_bank",
     "synth_batch",
     "synth_interpolation_batch",
     "InfiniteHologramSampler",
@@ -143,6 +145,65 @@ def synth_batch(
         out["phase_style"] = phase_s
         out["phase_content"] = phase_c
     return out
+
+
+def bead_bank(
+    n: int = 512,
+    size: int = 64,
+    *,
+    radius_range: Tuple[float, float] = (0.12, 0.3),
+    phase_peak: float = 1.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Synthetic polystyrene-bead phase objects: spherical-cap optical-path
+    profiles phi(r) = peak * sqrt(1 - (r/R)^2).
+
+    The reference's polystyrene domain streams measured .mat holograms
+    (utils/Data_loader.py:89-102); this bank lets the same training/minting
+    pipeline run for that domain without the (unavailable) raw data.
+    """
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1) - 0.5
+    out = np.zeros((n, size, size), np.float32)
+    for i in range(n):
+        k = rng.integers(1, 4)  # 1-3 beads per field
+        for _ in range(k):
+            r = rng.uniform(*radius_range)
+            cy, cx = rng.uniform(-0.3, 0.3, 2)
+            rho2 = ((yy - cy) ** 2 + (xx - cx) ** 2) / (r * r)
+            cap = np.sqrt(np.clip(1.0 - rho2, 0.0, 1.0))
+            out[i] = np.maximum(out[i], phase_peak * cap)
+    return out
+
+
+def rbc_bank(
+    n: int = 512,
+    size: int = 64,
+    *,
+    radius_range: Tuple[float, float] = (0.15, 0.28),
+    seed: int = 0,
+) -> np.ndarray:
+    """Synthetic red-blood-cell phase objects: biconcave-disc thickness
+    profiles (Evans-Fung style t(r) = sqrt(1-(r/R)^2) * (c0 + c2 (r/R)^2 +
+    c4 (r/R)^4), normalized to [0, 1]).
+
+    Stands in for the reference's RBC streaming domain
+    (utils/Data_loader.py:104-116) when no measured .mat trees are present.
+    """
+    c0, c2, c4 = 0.21, 2.0, -1.13  # dimensionless Evans-Fung coefficients
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / (size - 1) - 0.5
+    out = np.zeros((n, size, size), np.float32)
+    for i in range(n):
+        k = rng.integers(1, 5)
+        for _ in range(k):
+            r = rng.uniform(*radius_range)
+            cy, cx = rng.uniform(-0.32, 0.32, 2)
+            rho2 = np.clip(((yy - cy) ** 2 + (xx - cx) ** 2) / (r * r), 0.0, 1.0)
+            t = np.sqrt(1.0 - rho2) * (c0 + c2 * rho2 + c4 * rho2 * rho2)
+            out[i] = np.maximum(out[i], np.clip(t, 0.0, None))
+    peak = out.reshape(n, -1).max(axis=1, keepdims=True)
+    return (out.reshape(n, -1) / np.maximum(peak, 1e-6)).reshape(n, size, size)
 
 
 @functools.partial(jax.jit, static_argnames=("data", "physics"))

@@ -283,3 +283,48 @@ class TestNativeMatReader:
             out = read_mat_2d(p, "holography")
             assert out is not None, f"compress={comp}"
             np.testing.assert_allclose(out, b)
+
+
+class TestSyntheticDomainBanks:
+    def test_bead_bank(self):
+        from style_transfer_based_holographic_imaging_tpu.data.synth import bead_bank
+
+        bank = bead_bank(8, 32, seed=1)
+        assert bank.shape == (8, 32, 32)
+        assert bank.min() >= 0.0 and bank.max() <= 1.0 + 1e-6
+        assert (bank.reshape(8, -1).max(axis=1) > 0.5).all()  # beads present
+
+    def test_rbc_bank_biconcave(self):
+        from style_transfer_based_holographic_imaging_tpu.data.synth import rbc_bank
+
+        bank = rbc_bank(8, 48, seed=2)
+        assert bank.shape == (8, 48, 48)
+        assert bank.min() >= 0.0 and bank.max() <= 1.0 + 1e-6
+        # Biconcave: a cell's rim is thicker than its centre. Verify on a
+        # single-cell field by construction.
+        one = rbc_bank(1, 64, radius_range=(0.3, 0.3), seed=0)[0]
+        cy, cx = np.unravel_index(np.argmax(one), one.shape)
+        # centre of the cell = centroid of its support
+        ys, xs = np.nonzero(one > 0.01)
+        c_y, c_x = int(ys.mean()), int(xs.mean())
+        assert one[c_y, c_x] < one.max()  # dimple at the centre
+
+    def test_banks_feed_synth_batch(self):
+        import jax
+        import jax.numpy as jnp
+        from style_transfer_based_holographic_imaging_tpu.config import (
+            DataConfig,
+            PhysicsConfig,
+        )
+        from style_transfer_based_holographic_imaging_tpu.data.synth import (
+            bead_bank,
+            synth_batch,
+        )
+
+        data = DataConfig(batch_size=4, image_size=32, digit_pad=8,
+                          style_distances=(8.0,), content_distances=(5.0, 10.0))
+        physics = PhysicsConfig(distance_normalize=20.0)
+        out = synth_batch(jax.random.key(0), jnp.asarray(bead_bank(8, 16)),
+                          data=data, physics=physics)
+        assert out["content_holo"].shape == (4, 1, 32, 32)
+        assert np.isfinite(np.asarray(out["content_holo"])).all()
