@@ -163,6 +163,33 @@ def cmd_train(args):
         import numpy as np
 
         bank = np.load(args.digit_bank)["bank"]
+    elif args.bank != "sklearn":
+        import numpy as np
+
+        from style_transfer_based_holographic_imaging_tpu.data.synth import (
+            bead_bank,
+            golden_digit_bank,
+            rbc_bank,
+            sklearn_digit_bank,
+        )
+
+        if args.bank == "bead":
+            bank = bead_bank()
+        elif args.bank == "rbc":
+            bank = rbc_bank()
+        else:
+            from style_transfer_based_holographic_imaging_tpu.data import (
+                load_golden_suite,
+            )
+
+            golden = golden_digit_bank(load_golden_suite())
+            bank = (
+                golden
+                if args.bank == "golden"
+                else np.concatenate(
+                    [sklearn_digit_bank(), np.tile(golden, (18, 1, 1))], axis=0
+                )
+            )
 
     state = None
     if args.resume:
@@ -455,7 +482,12 @@ def main(argv=None):
     p.add_argument("--supervised-weight", type=float, default=10.0)
     p.add_argument("--physics-weight", type=float, default=10.0)
     p.add_argument("--adv-weight", type=float, default=0.0)
-    p.add_argument("--digit-bank", type=str, default=None)
+    p.add_argument("--digit-bank", type=str, default=None,
+                   help=".npz with a (N,64,64) 'bank' array (overrides --bank)")
+    p.add_argument("--bank", default="mixed",
+                   choices=("sklearn", "golden", "mixed", "bead", "rbc"),
+                   help="phase-object bank: digits (sklearn/golden/mixed) or "
+                   "synthetic experimental domains (bead/rbc)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("extract-style", help="mint a representative style vector")
