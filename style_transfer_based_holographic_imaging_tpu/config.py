@@ -79,6 +79,7 @@ class TrainConfig:
     iterations: int = 20000
     lr: float = 1e-4
     lr_decay: float = 5e-5
+    lr_schedule: str = "invtime"         # 'invtime' | 'cosine'
     content_weight: float = 1.0
     style_weight: float = 10.0
     physics_weight: float = 10.0

@@ -71,10 +71,19 @@ def _label_params(params) -> Any:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """Adam with the AdaIN-style inverse-time lr decay; encoder frozen when
-    ``cfg.freeze_encoder`` (the reference's semantics, net.py:167-170)."""
-    def lr_schedule(step):
-        return cfg.lr / (1.0 + cfg.lr_decay * step)
+    """Adam with a decaying lr; encoder frozen when ``cfg.freeze_encoder``
+    (the reference's semantics, net.py:167-170).
+
+    Schedules: 'invtime' — the AdaIN-style lr/(1+decay*step); 'cosine' —
+    cosine decay to 2% of peak over ``cfg.iterations`` (steadier late-phase
+    optimization for minting runs with a trainable encoder)."""
+    if cfg.lr_schedule == "cosine":
+        lr_schedule = optax.cosine_decay_schedule(
+            cfg.lr, max(cfg.iterations, 1), alpha=0.02
+        )
+    else:
+        def lr_schedule(step):
+            return cfg.lr / (1.0 + cfg.lr_decay * step)
 
     adam = optax.adam(lr_schedule)
     if not cfg.freeze_encoder:
