@@ -60,27 +60,28 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
-    batch = 256
     physics = PhysicsConfig()
     params = init_net_params(jax.random.key(0))
-
     rng = np.random.default_rng(0)
-    holo = jnp.asarray(rng.random((batch, 1, 128, 128), np.float32) * 0.6 + 0.05)
     sm = jnp.asarray(rng.random((1, 1, 1, 512), np.float32))
     ss = jnp.asarray(rng.random((1, 1, 1, 512), np.float32) + 0.5)
-    d_style = jnp.full((batch, 1, 1, 1), 0.2, jnp.float32)
-    args = (params, holo, sm, ss, d_style)
 
+    def make_args(batch):
+        holo = jnp.asarray(rng.random((batch, 1, 128, 128), np.float32) * 0.6 + 0.05)
+        d_style = jnp.full((batch, 1, 1, 1), 0.2, jnp.float32)
+        return (params, holo, sm, ss, d_style)
+
+    # Round 1: backend shoot-out at batch 256.
     results = {}
     for backend in ("xla", "pallas"):
         asm.set_asm_backend(backend)
         try:
             fn = make_retrieval_fn(physics, dtype=jnp.bfloat16)
-            results[backend] = _time_fn(fn, args, batch)
-            print(f"asm backend {backend}: {results[backend]:.1f} holo/s", file=sys.stderr)
+            results[(backend, 256)] = _time_fn(fn, make_args(256), 256)
+            print(f"asm={backend} b=256: {results[(backend, 256)]:.1f} holo/s",
+                  file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — a backend failure must not kill the bench
             print(f"asm backend {backend} failed: {e}", file=sys.stderr)
-    asm.set_asm_backend("xla")
 
     if not results:
         print(json.dumps({"metric": "MNIST field-retrieval throughput",
@@ -88,8 +89,22 @@ def main():
                           "vs_baseline": 0.0, "error": "all backends failed"}))
         return
 
+    # Round 2: batch sweep on the winning backend.
+    best_backend = max(results, key=results.get)[0]
+    asm.set_asm_backend(best_backend)
+    fn = make_retrieval_fn(physics, dtype=jnp.bfloat16)
+    for batch in (128, 512):
+        try:
+            results[(best_backend, batch)] = _time_fn(fn, make_args(batch), batch, reps=2)
+            print(f"asm={best_backend} b={batch}: "
+                  f"{results[(best_backend, batch)]:.1f} holo/s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"batch {batch} failed: {e}", file=sys.stderr)
+    asm.set_asm_backend("xla")
+
     winner = max(results, key=results.get)
     holos_per_sec = results[winner]
+    winner = f"{winner[0]}, batch {winner[1]}"
     baseline = 2000.0  # estimated torch reference on RTX4090 (see docstring)
     print(
         json.dumps(
