@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--iterations", type=int, default=20000)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--lr-schedule", choices=("invtime", "cosine"), default="invtime")
     ap.add_argument("--out", type=str, default="checkpoints")
     ap.add_argument("--train-encoder", action="store_true")
     ap.add_argument("--supervised-weight", type=float, default=10.0)
@@ -67,6 +68,7 @@ def main():
         train=TrainConfig(
             iterations=args.iterations,
             lr=args.lr,
+            lr_schedule=args.lr_schedule,
             checkpoint_every=max(args.iterations // 4, 1),
             checkpoint_dir=args.out,
             freeze_encoder=not args.train_encoder,

@@ -35,6 +35,8 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from style_transfer_based_holographic_imaging_tpu.ops import asm as _asm
 
@@ -86,7 +88,9 @@ def _make_kernel(h: int, w: int, pad: bool, g_coef: float):
 
     def kernel(d_ref, xre_ref, xim_ref, fhre_ref, fhim_ref, fwre_ref, fwim_ref,
                kz_ref, yre_ref, yim_ref):
-        d = d_ref[0, 0]
+        # d_ref holds the whole (B, 1) distance vector in SMEM (Mosaic
+        # requires unblocked SMEM refs); pick this program's scalar.
+        d = d_ref[pl.program_id(0), 0]
         xre = xre_ref[0]
         xim = xim_ref[0]
         if pad:
@@ -130,9 +134,6 @@ def _make_kernel(h: int, w: int, pad: bool, g_coef: float):
 
 @functools.partial(jax.jit, static_argnames=("wavelength", "pixel_size", "pad", "interpret"))
 def _propagate_pallas_impl(xre, xim, dist, *, wavelength, pixel_size, pad, interpret):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     b, h, w = xre.shape
     kernel, fh, fw = _make_kernel(h, w, pad, 2.0 * math.pi / wavelength)
 
@@ -149,7 +150,7 @@ def _propagate_pallas_impl(xre, xim, dist, *, wavelength, pixel_size, pad, inter
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             full((fh, fh)),
