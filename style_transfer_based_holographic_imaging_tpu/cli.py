@@ -31,6 +31,8 @@ def _add_common(p: argparse.ArgumentParser):
                    help=".npz with mean/std arrays (default: alongside checkpoint)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--image-size", type=int, default=128)
+    p.add_argument("--asm-backend", choices=("auto", "xla", "pallas"), default="auto",
+                   help="angular-spectrum propagator backend")
 
 
 def _setup_backend(args):
@@ -38,6 +40,13 @@ def _setup_backend(args):
 
     if getattr(args, "cpu", False):
         jax.config.update("jax_platforms", "cpu")
+    backend = getattr(args, "asm_backend", None)
+    if backend:
+        from style_transfer_based_holographic_imaging_tpu.ops.asm import (
+            set_asm_backend,
+        )
+
+        set_asm_backend(backend)
     return jax
 
 
