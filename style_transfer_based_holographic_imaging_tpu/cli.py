@@ -132,7 +132,12 @@ def cmd_eval(args):
         print(f"writing profiler trace to {args.profile}", file=sys.stderr)
     with profile_cm:
         metrics = evaluate_golden_suite(
-            params, goldens, cfg, save_dir=save_dir, style_override=style
+            params,
+            goldens,
+            cfg,
+            save_dir=save_dir,
+            style_override=style,
+            refine_steps=args.refine,
         )
     print(f"Mean PSNR: {metrics['mean_psnr']:.4f}")
     print(f"Mean MAE: {metrics['mean_mae']:.6f}")
@@ -474,6 +479,9 @@ def main(argv=None):
     p.add_argument("--json", action="store_true")
     p.add_argument("--profile", type=str, default=None, metavar="LOGDIR",
                    help="capture a TensorBoard/XPlane trace of the evaluation")
+    p.add_argument("--refine", type=int, default=0, metavar="STEPS",
+                   help="physics-consistent refinement steps per batch (0 = "
+                   "the reference's network-only inference)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("train", help="train on synthesized holograms")

@@ -145,6 +145,7 @@ def evaluate_golden_suite(
     save_dir: Optional[str] = None,
     style_override: Optional[Tuple[jax.Array, jax.Array]] = None,
     dtype=None,
+    refine_steps: int = 0,
 ) -> Dict[str, Any]:
     """Run the bundled 20x5 golden suite and emit the reference's metrics.
 
@@ -152,6 +153,11 @@ def evaluate_golden_suite(
     per-batch PSNR/MAE of the focused phase vs GT phase (both zero-meaned),
     distance (true, predicted) pairs, final means and R². With ``save_dir``
     also writes the per-sample montages and the distance box-plot.
+
+    ``refine_steps > 0`` additionally polishes each refocused field against
+    its measured hologram through the differentiable propagator
+    (pipelines.refine.physics_refine) — a capability the network-only
+    reference does not have; 0 preserves its exact inference semantics.
     """
     from style_transfer_based_holographic_imaging_tpu.eval.metrics import r2_score
 
@@ -174,6 +180,21 @@ def evaluate_golden_suite(
         holo = jnp.asarray(goldens.content_holo[i])
         d_style = jnp.asarray(goldens.distance_style[i])
         out = fn(params, holo, sm, ss, d_style)
+
+        if refine_steps:
+            from style_transfer_based_holographic_imaging_tpu.pipelines.refine import (
+                physics_refine,
+            )
+
+            refined = physics_refine(
+                out["amp_foc"],
+                out["ph_foc"],
+                out["distance_pred"],
+                jnp.sqrt(holo),
+                physics,
+                steps=refine_steps,
+            )
+            out = dict(out, amp_foc=refined["amp"], ph_foc=refined["phase"])
 
         gt_phase = _zero_mean(jnp.asarray(goldens.gt_phase[i]))
         ph_foc = _zero_mean(out["ph_foc"])

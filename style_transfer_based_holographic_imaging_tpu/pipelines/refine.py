@@ -1,0 +1,126 @@
+"""Physics-consistent refinement of retrieved fields.
+
+The reference's inference is a single network pass (net.py:228-260 +
+refocus); its only use of the physics operator at test time is the final
+refocus. But the forward model is fully differentiable here, so the
+retrieved object field can be *polished* against the actual measurement:
+
+    minimize_{A, phi, (d)}   || |ASM(A e^{i phi}, d)| - sqrt(I_meas) ||^2
+                             + tv_weight * TV(phi)
+
+initialized at the network's refocused output and its predicted distance.
+This is standard inverse-problem practice (error-reduction with a learned
+initializer); the network solves the twin-image/initialization ambiguity and
+the physics loop restores measurement consistency the decoder cannot
+guarantee. Everything is one jitted ``lax.scan`` of Adam steps — ~2 FFT
+pairs per step, so 30 steps cost about one extra network pass on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
+from style_transfer_based_holographic_imaging_tpu.ops import holo_forward
+from style_transfer_based_holographic_imaging_tpu.train.losses import tv_loss
+
+__all__ = ["physics_refine"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("physics", "steps", "refine_distance", "lr", "tv_weight"),
+)
+def physics_refine(
+    amp0: jax.Array,
+    phase0: jax.Array,
+    distance: jax.Array,
+    measured_amp: jax.Array,
+    physics: PhysicsConfig,
+    *,
+    steps: int = 30,
+    lr: float = 0.05,
+    tv_weight: float = 1e-4,
+    refine_distance: bool = False,
+) -> Dict[str, jax.Array]:
+    """Polish an object-plane field against its measured hologram.
+
+    Args:
+      amp0, phase0: network-retrieved object field (B, 1, H, W), the
+        refocused amplitude/phase.
+      distance: (B, 1, 1, 1) propagation distance in network units (the
+        predicted content distance).
+      measured_amp: sqrt of the measured intensity hologram (B, 1, H, W).
+      steps: Adam iterations (static).
+      refine_distance: also optimize the distance estimate.
+
+    Returns dict with refined ``amp``/``phase`` (and ``distance``), plus the
+    per-sample final data residual ``residual``.
+    """
+    amp0 = jnp.asarray(amp0, jnp.float32)
+    phase0 = jnp.asarray(phase0, jnp.float32)
+    d0 = jnp.asarray(distance, jnp.float32)
+    meas = jnp.asarray(measured_amp, jnp.float32)
+
+    def data_residual(amp, phase, d):
+        synth = holo_forward(amp, phase, d, physics)  # intensity
+        return jnp.sqrt(jnp.maximum(synth, 0.0)) - meas
+
+    def loss_fn(p):
+        r = data_residual(p["amp"], p["phase"], p["d"])
+        l = jnp.mean(r * r)
+        if tv_weight:
+            l = l + tv_weight * tv_loss(p["phase"])
+        return l
+
+    params = {"amp": amp0, "phase": phase0, "d": d0}
+    grad_keys = ("amp", "phase") + (("d",) if refine_distance else ())
+
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def run_adam(params, keys, n_steps, key_lr):
+        """n_steps of Adam over the subtree ``keys``, with a cosine step-size
+        decay to 10% (Adam's sign-like normalized updates otherwise jitter
+        around the optimum by ~lr per step)."""
+        zeros = {k: jnp.zeros_like(params[k]) for k in keys}
+        state = (params, zeros, dict(zeros))
+
+        def step(carry, i):
+            p, m, v = carry
+            g = jax.grad(loss_fn)(p)
+            t = i + 1.0
+            decay = 0.1 + 0.45 * (1.0 + jnp.cos(jnp.pi * i / max(n_steps, 1)))
+            new_p, new_m, new_v = dict(p), dict(m), dict(v)
+            for k in keys:
+                new_m[k] = b1 * m[k] + (1 - b1) * g[k]
+                new_v[k] = b2 * v[k] + (1 - b2) * g[k] * g[k]
+                mhat = new_m[k] / (1 - b1**t)
+                vhat = new_v[k] / (1 - b2**t)
+                new_p[k] = p[k] - decay * key_lr[k] * mhat / (jnp.sqrt(vhat) + eps)
+            return (new_p, new_m, new_v), None
+
+        (params, _, _), _ = jax.lax.scan(
+            step, state, jnp.arange(n_steps, dtype=jnp.float32)
+        )
+        return params
+
+    if refine_distance:
+        # Stage 1: autofocus — adjust the distance with the field frozen,
+        # otherwise the per-pixel field simply absorbs the defocus and the
+        # distance gradient vanishes.
+        params = run_adam(params, ("d",), max(steps // 2, 10), {"d": lr * 0.1})
+    params = run_adam(
+        params, grad_keys, steps, {"amp": lr, "phase": lr, "d": lr * 0.02}
+    )
+
+    r = data_residual(params["amp"], params["phase"], params["d"])
+    return {
+        "amp": params["amp"],
+        "phase": params["phase"],
+        "distance": params["d"],
+        "residual": jnp.sqrt(jnp.mean(r * r, axis=(1, 2, 3))),
+    }
