@@ -186,15 +186,22 @@ def evaluate_golden_suite(
                 physics_refine,
             )
 
+            # The golden suite is a pure-phase domain with known constant
+            # illumination amplitude (test_data GT amplitude == 0.6,
+            # SURVEY.md §2c) — refine phase-only against that prior.
+            amp_prior = jnp.full_like(
+                out["amp_foc"], jnp.float32(config.data.amplitude)
+            )
             refined = physics_refine(
-                out["amp_foc"],
+                amp_prior,
                 out["ph_foc"],
                 out["distance_pred"],
                 jnp.sqrt(holo),
                 physics,
                 steps=refine_steps,
+                optimize_amp=False,
             )
-            out = dict(out, amp_foc=refined["amp"], ph_foc=refined["phase"])
+            out = dict(out, ph_foc=refined["phase"])
 
         gt_phase = _zero_mean(jnp.asarray(goldens.gt_phase[i]))
         ph_foc = _zero_mean(out["ph_foc"])
