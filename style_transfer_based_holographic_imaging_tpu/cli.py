@@ -152,26 +152,41 @@ def cmd_train(args):
     import dataclasses
 
     from style_transfer_based_holographic_imaging_tpu.config import (
+        DOMAIN_PRESETS,
         DataConfig,
         ExperimentConfig,
         TrainConfig,
     )
     from style_transfer_based_holographic_imaging_tpu.train import train
 
-    cfg = ExperimentConfig(
-        data=DataConfig(batch_size=args.batch_size, seed=args.seed),
-        train=TrainConfig(
-            iterations=args.iterations,
-            lr=args.lr,
-            checkpoint_every=args.checkpoint_every,
-            checkpoint_dir=args.checkpoint_dir,
-            freeze_encoder=not args.train_encoder,
-            supervised_weight=args.supervised_weight,
-            physics_weight=args.physics_weight,
-            adv_weight=args.adv_weight,
-            log_every=args.log_every,
-        ),
+    train_cfg = TrainConfig(
+        iterations=args.iterations,
+        lr=args.lr,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_dir=args.checkpoint_dir,
+        freeze_encoder=not args.train_encoder,
+        supervised_weight=args.supervised_weight,
+        physics_weight=args.physics_weight,
+        adv_weight=args.adv_weight,
+        log_every=args.log_every,
     )
+    if args.domain:
+        # Train inside an experimental-domain preset (its physics constants
+        # and distance lists), e.g. --domain polystyrene --bank bead.
+        preset = DOMAIN_PRESETS[args.domain]()
+        cfg = ExperimentConfig(
+            name=preset.name,
+            physics=preset.physics,
+            data=dataclasses.replace(
+                preset.data, batch_size=args.batch_size, seed=args.seed
+            ),
+            train=train_cfg,
+        )
+    else:
+        cfg = ExperimentConfig(
+            data=DataConfig(batch_size=args.batch_size, seed=args.seed),
+            train=train_cfg,
+        )
     bank = None
     if args.digit_bank and os.path.isfile(args.digit_bank):
         import numpy as np
@@ -505,6 +520,10 @@ def main(argv=None):
                    choices=("sklearn", "golden", "mixed", "bead", "rbc"),
                    help="phase-object bank: digits (sklearn/golden/mixed) or "
                    "synthetic experimental domains (bead/rbc)")
+    p.add_argument("--domain", default=None, choices=sorted(set(
+        ("mnist", "polystyrene", "polystyrene_bead", "tissue",
+         "red_blood_cell", "rbc"))),
+                   help="experimental-domain preset (physics + distances)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("extract-style", help="mint a representative style vector")

@@ -167,6 +167,10 @@ def polystyrene_config() -> ExperimentConfig:
     reference: utils/Data_loader.py:89-102)."""
     return ExperimentConfig(
         name="polystyrene_bead",
+        # distance_normalize maps the 5-20 mm range into the sigmoid head's
+        # (0, 1) output (the MNIST demo uses 1.0 because its distances are
+        # already sub-millimetre, test_field_retrieval_mnist.py:58-60).
+        physics=PhysicsConfig(distance_normalize=25.0),
         data=DataConfig(
             style_distances=(8.0,),
             content_distances=tuple(float(d) for d in range(5, 21)),
@@ -178,6 +182,7 @@ def red_blood_cell_config() -> ExperimentConfig:
     """Red-blood-cell streaming domain (reference: utils/Data_loader.py:104-116)."""
     return ExperimentConfig(
         name="red_blood_cell",
+        physics=PhysicsConfig(distance_normalize=10.0),
         data=DataConfig(
             style_distances=(6.0,),
             content_distances=(4.0, 5.0, 6.0, 7.0, 8.0),
