@@ -270,19 +270,32 @@ def cmd_train(args):
 
 def cmd_extract_style(args):
     _setup_backend(args)
-    from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
-    from style_transfer_based_holographic_imaging_tpu.data.synth import sklearn_digit_bank
+    from style_transfer_based_holographic_imaging_tpu.config import (
+        DOMAIN_PRESETS,
+        ExperimentConfig,
+    )
+    from style_transfer_based_holographic_imaging_tpu.data.synth import (
+        bead_bank,
+        rbc_bank,
+        sklearn_digit_bank,
+    )
     from style_transfer_based_holographic_imaging_tpu.pipelines.style_vector import (
         extract_style_vector,
         save_style_vector,
     )
 
     params = _load_params(args)
-    cfg = ExperimentConfig()
-    mean, std = extract_style_vector(
-        params, cfg, sklearn_digit_bank(), n_batches=args.n_batches
-    )
+    cfg = DOMAIN_PRESETS[args.domain]() if args.domain else ExperimentConfig()
+    bank = {"bead": bead_bank, "rbc": rbc_bank}.get(args.bank, sklearn_digit_bank)()
+    mean, std = extract_style_vector(params, cfg, bank, n_batches=args.n_batches)
     save_style_vector(mean, std, args.out)
+    if args.pt_out:
+        from style_transfer_based_holographic_imaging_tpu.interop import (
+            save_style_vector_pt,
+        )
+
+        save_style_vector_pt(mean, std, args.pt_out)
+        print(f"torch-layout style vector written to {args.pt_out}")
     print(f"style vector written to {args.out}")
 
 
@@ -529,7 +542,12 @@ def main(argv=None):
     p = sub.add_parser("extract-style", help="mint a representative style vector")
     _add_common(p)
     p.add_argument("--out", type=str, default="checkpoints/style_vector.npz")
+    p.add_argument("--pt-out", type=str, default=None,
+                   help="also export in the reference's .pt layout")
     p.add_argument("--n-batches", type=int, default=32)
+    p.add_argument("--bank", default="sklearn", choices=("sklearn", "bead", "rbc"))
+    p.add_argument("--domain", default=None,
+                   choices=("mnist", "polystyrene", "red_blood_cell"))
     p.set_defaults(fn=cmd_extract_style)
 
     p = sub.add_parser("synth-bench", help="hologram-synthesis throughput")
