@@ -86,22 +86,22 @@ def main():
     with open(os.path.join(args.out, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
-    import numpy as np
-
     t0 = time.time()
     if args.bank == "sklearn":
         bank = sklearn_digit_bank()
-    else:
+    elif args.bank == "golden":
         from style_transfer_based_holographic_imaging_tpu.data.synth import (
+            GOLDEN_TRAIN_DIGITS,
             golden_digit_bank,
         )
 
-        golden = golden_digit_bank(load_golden_suite())
-        if args.bank == "golden":
-            bank = golden
-        else:
-            sk = sklearn_digit_bank()
-            bank = np.concatenate([sk, np.tile(golden, (18, 1, 1))], axis=0)
+        bank = golden_digit_bank(load_golden_suite(), subset=GOLDEN_TRAIN_DIGITS)
+    else:
+        from style_transfer_based_holographic_imaging_tpu.data.synth import (
+            mixed_digit_bank,
+        )
+
+        bank = mixed_digit_bank(load_golden_suite())
     state = train(cfg, bank=bank)
     print(f"training done in {time.time()-t0:.0f}s", flush=True)
     ckpt_path = save_checkpoint(state, args.out)

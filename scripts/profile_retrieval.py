@@ -10,29 +10,8 @@ Usage: python scripts/profile_retrieval.py [--batch 256] [--trace DIR]
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
-def timeit(fn, *args, iters=10, reps=3):
-    import jax
-    import jax.numpy as jnp
-
-    out = fn(*args)
-    first = jax.tree.leaves(out)[0]
-    float(jax.device_get(jnp.sum(jnp.real(first))))
-    best = 1e18
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        acc = None
-        for _ in range(iters):
-            out = fn(*args)
-            s = jnp.sum(jnp.real(jax.tree.leaves(out)[0]))
-            acc = s if acc is None else acc + s
-        float(jax.device_get(acc))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
 
 
 def main():
@@ -117,10 +96,12 @@ def main():
         from style_transfer_based_holographic_imaging_tpu.utils.profiling import trace
 
         cm = trace(args.trace)
+    from style_transfer_based_holographic_imaging_tpu.utils.profiling import timeit
+
     with cm:
         total = None
         for name, (fn, a) in stages.items():
-            ms = timeit(fn, *a) * 1e3
+            ms = timeit(fn, *a, iters=10)["sec_per_call"] * 1e3
             if name == "END-TO-END":
                 total = ms
             print(f"{name:>14}: {ms:8.2f} ms/batch{b}  ({b/ms*1e3:9.0f}/s)")

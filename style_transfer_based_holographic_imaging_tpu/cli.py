@@ -188,18 +188,20 @@ def cmd_train(args):
             train=train_cfg,
         )
     bank = None
-    if args.digit_bank and os.path.isfile(args.digit_bank):
+    if args.digit_bank:
         import numpy as np
 
+        if not os.path.isfile(args.digit_bank):
+            print(f"--digit-bank {args.digit_bank}: file not found", file=sys.stderr)
+            return 1
         bank = np.load(args.digit_bank)["bank"]
     elif args.bank != "sklearn":
-        import numpy as np
-
         from style_transfer_based_holographic_imaging_tpu.data.synth import (
+            GOLDEN_TRAIN_DIGITS,
             bead_bank,
             golden_digit_bank,
+            mixed_digit_bank,
             rbc_bank,
-            sklearn_digit_bank,
         )
 
         if args.bank == "bead":
@@ -211,13 +213,11 @@ def cmd_train(args):
                 load_golden_suite,
             )
 
-            golden = golden_digit_bank(load_golden_suite())
+            goldens = load_golden_suite()
             bank = (
-                golden
+                golden_digit_bank(goldens, subset=GOLDEN_TRAIN_DIGITS)
                 if args.bank == "golden"
-                else np.concatenate(
-                    [sklearn_digit_bank(), np.tile(golden, (18, 1, 1))], axis=0
-                )
+                else mixed_digit_bank(goldens)
             )
 
     state = None

@@ -30,6 +30,9 @@ from style_transfer_based_holographic_imaging_tpu.ops import holo_forward
 __all__ = [
     "sklearn_digit_bank",
     "golden_digit_bank",
+    "mixed_digit_bank",
+    "GOLDEN_TRAIN_DIGITS",
+    "GOLDEN_HELDOUT_BATCHES",
     "bead_bank",
     "rbc_bank",
     "synth_batch",
@@ -49,16 +52,39 @@ def sklearn_digit_bank(size: int = 64) -> np.ndarray:
     return np.clip(np.asarray(out), 0.0, 1.0)
 
 
-def golden_digit_bank(goldens, size: int = 64) -> np.ndarray:
+def golden_digit_bank(goldens, size: int = 64, subset: slice | None = None) -> np.ndarray:
     """Digit bank extracted from the golden suite's GT phases (100 MNIST
-    digits at 128x128, centre-cropped back to their 64x64 active area)."""
+    digits at 128x128, centre-cropped back to their 64x64 active area).
+
+    ``subset`` selects a slice of the 100 digits — used to keep a held-out
+    half out of training (see mixed_digit_bank)."""
     ph = goldens.flat("gt_phase")[:, 0]  # (100, 128, 128)
+    if subset is not None:
+        ph = ph[subset]
     crop = ph[:, 32:96, 32:96]
     if size != 64:
         crop = np.asarray(
             jax.image.resize(jnp.asarray(crop), (crop.shape[0], size, size), "cubic")
         )
     return np.clip(crop, 0.0, 1.0).astype(np.float32)
+
+
+# The golden suite has 20 batches x 5 samples; training uses digits from the
+# first half only, so batches 10..19 (samples 50..99) stay fully unseen and
+# give an uncontaminated generalization measurement (HELDOUT metrics).
+GOLDEN_TRAIN_DIGITS = slice(0, 50)
+GOLDEN_HELDOUT_BATCHES = range(10, 20)
+
+
+def mixed_digit_bank(goldens, *, oversample: int = 36, size: int = 64) -> np.ndarray:
+    """sklearn digits + the golden TRAIN-split MNIST digits oversampled to
+    ~50% of the stream. The single source of the recipe shared by
+    scripts/mint_checkpoint.py and `cli train --bank mixed` — training never
+    sees the held-out half of the golden digits."""
+    golden = golden_digit_bank(goldens, size=size, subset=GOLDEN_TRAIN_DIGITS)
+    return np.concatenate(
+        [sklearn_digit_bank(size), np.tile(golden, (oversample, 1, 1))], axis=0
+    )
 
 
 def _augment(img: jax.Array, flips: jax.Array, shifts: jax.Array) -> jax.Array:

@@ -125,6 +125,7 @@ def propagate(
     wavelength: float,
     pixel_size: float,
     pad: bool = True,
+    backend: str | None = None,
 ) -> jax.Array:
     """Propagate a complex field by ``distance`` metres via the angular spectrum.
 
@@ -144,7 +145,10 @@ def propagate(
         field = field.astype(jnp.complex64)
     h, w = field.shape[-2], field.shape[-1]
 
-    backend = _BACKEND
+    # Per-call override first (e.g. the training step forces "xla": a
+    # pallas_call cannot be auto-partitioned by GSPMD, so mesh-sharded jit
+    # programs must stay on the XLA composition), else the module global.
+    backend = backend or _BACKEND
     eligible = pad and h % 2 == 0 and w % 2 == 0 and min(h, w) >= 16
     if backend == "auto":
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")

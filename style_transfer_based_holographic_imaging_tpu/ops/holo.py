@@ -36,6 +36,7 @@ def holo_forward(
     return_field: bool = False,
     complex_number: bool = False,
     unwrap: bool = False,
+    asm_backend: str | None = None,
 ) -> jax.Array | Tuple[jax.Array, jax.Array]:
     """Form the diffraction field of the object ``A * exp(i phi)`` at ``distance``.
 
@@ -59,6 +60,7 @@ def holo_forward(
         wavelength=physics.wavelength,
         pixel_size=physics.pixel_size,
         pad=True,
+        backend=asm_backend,
     )
 
     if return_field:

@@ -242,6 +242,25 @@ def evaluate_golden_suite(
         "distance_pred_um": um[:, 1].tolist(),
     }
 
+    # Held-out metrics: batches whose digits the default mixed training bank
+    # never sees (data/synth.GOLDEN_HELDOUT_BATCHES) — the uncontaminated
+    # generalization numbers.
+    from style_transfer_based_holographic_imaging_tpu.data.synth import (
+        GOLDEN_HELDOUT_BATCHES,
+    )
+
+    held = [b for b in GOLDEN_HELDOUT_BATCHES if b < goldens.n_batches]
+    if held:
+        bs = goldens.content_holo[0].shape[0]
+        held_samples = [s for b in held for s in range(b * bs, (b + 1) * bs)]
+        metrics["heldout_mean_psnr"] = float(
+            np.mean([psnr_list[b] for b in held])
+        )
+        metrics["heldout_mean_mae"] = float(np.mean([mae_list[b] for b in held]))
+        metrics["heldout_r2"] = float(
+            r2_score(um[held_samples, 0], um[held_samples, 1])
+        )
+
     if save_dir is not None:
         from style_transfer_based_holographic_imaging_tpu.eval.report import (
             save_montages,

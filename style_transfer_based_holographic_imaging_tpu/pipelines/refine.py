@@ -46,7 +46,9 @@ def physics_refine(
     *,
     steps: int = 60,
     lr: float = 0.05,
-    tv_weight: float = 1e-3,
+    # Tuned on the golden suite (5-sample batches, old batch-summed TV at
+    # 1e-3): with the batch-normalized TV this is 5e-3 per sample.
+    tv_weight: float = 5e-3,
     refine_distance: bool = False,
     optimize_amp: bool = True,
 ) -> Dict[str, jax.Array]:
@@ -70,9 +72,15 @@ def physics_refine(
     per-sample final data residual ``residual``.
     """
     amp0 = jnp.asarray(amp0, jnp.float32)
-    phase0 = jnp.asarray(phase0, jnp.float32)
+    # holo_forward multiplies its phase input by physics.phase_normalize
+    # (ops/holo.py, mirroring Forward_model.py:20), so the optimization
+    # variable lives in network phase units: divide the physical seed in and
+    # scale the result back out.
+    pn = jnp.float32(physics.phase_normalize)
+    phase0 = jnp.asarray(phase0, jnp.float32) / pn
     d0 = jnp.asarray(distance, jnp.float32)
     meas = jnp.asarray(measured_amp, jnp.float32)
+    batch = max(int(phase0.shape[0]), 1)
 
     def data_residual(amp, phase, d):
         synth = holo_forward(amp, phase, d, physics)  # intensity
@@ -82,7 +90,9 @@ def physics_refine(
         r = data_residual(p["amp"], p["phase"], p["d"])
         l = jnp.mean(r * r)
         if tv_weight:
-            l = l + tv_weight * tv_loss(p["phase"])
+            # tv_loss sums over the batch (divides by H*W only) — normalize
+            # so the TV-vs-data balance is batch-size independent.
+            l = l + tv_weight * tv_loss(p["phase"]) / batch
         return l
 
     params = {"amp": amp0, "phase": phase0, "d": d0}
@@ -130,7 +140,7 @@ def physics_refine(
     r = data_residual(params["amp"], params["phase"], params["d"])
     return {
         "amp": params["amp"],
-        "phase": params["phase"],
+        "phase": params["phase"] * pn,  # back to physical radians
         "distance": params["d"],
         "residual": jnp.sqrt(jnp.mean(r * r, axis=(1, 2, 3))),
     }

@@ -123,6 +123,7 @@ def generator_loss_fn(
             batch["distance_style"],
             physics,
             return_field=True,
+            asm_backend="xla",  # mesh-shardable program, see losses.py
         )
         gt_amp = jax.lax.stop_gradient(gt_amp)
         gt_ph = jax.lax.stop_gradient(gt_ph)

@@ -67,12 +67,15 @@ def physics_cycle_loss(
 
     All tensors NCHW; distances in network units, broadcastable (B,1,1,1).
     """
+    # asm_backend="xla": the train step may be jitted over a device mesh
+    # (DP shardings) and a pallas_call cannot be auto-partitioned by GSPMD.
     amp_prop, _ = holo_forward(
         amp_style,
         phase_style,
         d_content - d_style,
         physics,
         return_field=True,
+        asm_backend="xla",
     )
     return jnp.mean((amp_prop - content_sqrt_holo) ** 2)
 
