@@ -463,6 +463,7 @@ def cmd_stream(args):
         style,
         cfg,
         style_distance=args.style_distance,
+        refine_steps=args.refine,
     ):
         b = int(out["amp_field"].shape[0])
         n += b
@@ -571,6 +572,8 @@ def main(argv=None):
     p.add_argument("--distances", type=str, default=None, help="comma list, mm")
     p.add_argument("--style-distance", type=float, default=None)
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--refine", type=int, default=0, metavar="STEPS",
+                   help="physics-consistent refinement steps per frame batch")
     p.set_defaults(fn=cmd_stream)
 
     args = parser.parse_args(argv)

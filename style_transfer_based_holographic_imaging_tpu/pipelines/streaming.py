@@ -50,12 +50,17 @@ def stream_retrieval(
     sharding: Optional[jax.sharding.Sharding] = None,
     dtype=None,
     stats: Optional[StreamStats] = None,
+    refine_steps: int = 0,
 ) -> Iterator[Dict[str, jax.Array]]:
     """Stream batches of intensity holograms through field retrieval.
 
     Each input batch is a dict with ``holo`` (B, 1, H, W); batches are
     prefetched to HBM while the previous batch computes. Yields the
     retrieval outputs per batch (device arrays — convert lazily to overlap).
+
+    ``refine_steps > 0`` appends physics-consistent refinement of the
+    refocused field against each measured frame (joint amp+phase — the
+    experimental domains have no known-amplitude prior).
     """
     config = config or ExperimentConfig()
     fn = make_retrieval_fn(config.physics, dtype=dtype)
@@ -70,6 +75,22 @@ def stream_retrieval(
         b = holo.shape[0]
         d_style = jnp.full((b, 1, 1, 1), d_s, jnp.float32)
         out = fn(params, holo, sm, ss, d_style)
+        if refine_steps:
+            from style_transfer_based_holographic_imaging_tpu.pipelines.refine import (
+                physics_refine,
+            )
+
+            refined = physics_refine(
+                out["amp_foc"],
+                out["ph_foc"],
+                out["distance_pred"],
+                jnp.sqrt(jnp.asarray(holo, jnp.float32)),
+                config.physics,
+                steps=refine_steps,
+            )
+            out = dict(
+                out, amp_foc=refined["amp"], ph_foc=refined["phase"]
+            )
         if stats is not None:
             stats.n_frames += b
         yield out

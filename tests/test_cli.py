@@ -51,3 +51,27 @@ class TestStreamCommand:
     def test_unknown_command_rejected(self):
         with pytest.raises(SystemExit):
             main(["definitely-not-a-command"])
+
+    def test_stream_with_refinement(self, tmp_path, capsys):
+        root = tmp_path / "red_blood_cell"
+        holo_dir = root / "test" / "holography" / "6.0"
+        os.makedirs(holo_dir)
+        rng = np.random.default_rng(1)
+        for j in range(1, 3):
+            sio.savemat(
+                str(holo_dir / f"holography{j}.mat"),
+                {"holography": rng.random((32, 32))},
+            )
+        sv = tmp_path / "sv.npz"
+        np.savez(
+            str(sv),
+            mean=rng.random((1, 1, 1, 512)).astype(np.float32),
+            std=(rng.random((1, 1, 1, 512)) + 0.5).astype(np.float32),
+        )
+        rc = main(
+            ["stream", "--root", str(root), "--domain", "red_blood_cell",
+             "--distances", "6.0", "--style-vector", str(sv),
+             "--batch-size", "2", "--refine", "3", "--cpu"]
+        )
+        assert rc == 0
+        assert '"frames": 2' in capsys.readouterr().out
