@@ -168,6 +168,9 @@ def cmd_train(args):
         supervised_weight=args.supervised_weight,
         physics_weight=args.physics_weight,
         adv_weight=args.adv_weight,
+        distance_weight=args.distance_weight,
+        content_weight=args.content_weight,
+        style_weight=args.style_weight,
         log_every=args.log_every,
     )
     if args.domain:
@@ -528,6 +531,9 @@ def main(argv=None):
     p.add_argument("--supervised-weight", type=float, default=10.0)
     p.add_argument("--physics-weight", type=float, default=10.0)
     p.add_argument("--adv-weight", type=float, default=0.0)
+    p.add_argument("--distance-weight", type=float, default=20.0)
+    p.add_argument("--content-weight", type=float, default=0.1)
+    p.add_argument("--style-weight", type=float, default=0.1)
     p.add_argument("--digit-bank", type=str, default=None,
                    help=".npz with a (N,64,64) 'bank' array (overrides --bank)")
     p.add_argument("--bank", default="mixed",
