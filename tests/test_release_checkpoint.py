@@ -60,6 +60,55 @@ class TestReleaseCheckpoint:
         assert metrics["mean_psnr"] >= 0.95 * recorded["mean_psnr"]
         assert metrics["r2"] >= min(0.95 * recorded["r2"], recorded["r2"])
 
+    def test_refined_meets_recorded_bar(self):
+        """The physics-refinement path must keep delivering its recorded
+        gain on a golden subset (full refined suite is gated at mint time)."""
+        with open(METRICS) as f:
+            recorded = json.load(f)
+        if "refined_mean_psnr" not in recorded:
+            pytest.skip("no refined metrics recorded")
+
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+
+        from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+        from style_transfer_based_holographic_imaging_tpu.data import load_golden_suite
+        from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
+            make_retrieval_fn,
+        )
+        from style_transfer_based_holographic_imaging_tpu.pipelines.refine import (
+            physics_refine,
+        )
+
+        params = ocp.StandardCheckpointer().restore(os.path.abspath(RELEASE))["params"]
+        sv = np.load(STYLE)
+        g = load_golden_suite()
+        cfg = ExperimentConfig()
+        fn = make_retrieval_fn(cfg.physics)
+
+        def zm(x):
+            return x - x.mean(axis=(1, 2, 3), keepdims=True)
+
+        psnrs = []
+        for i in (0, 10):  # one train-split batch, one held-out batch
+            holo = jnp.asarray(g.content_holo[i])
+            out = fn(params, holo, jnp.asarray(sv["mean"]), jnp.asarray(sv["std"]),
+                     jnp.asarray(g.distance_style[i]))
+            refined = physics_refine(
+                jnp.full_like(out["amp_foc"], cfg.data.amplitude),
+                out["ph_foc"],
+                out["distance_pred"],
+                jnp.sqrt(holo),
+                cfg.physics,
+                steps=60,
+                optimize_amp=False,
+            )
+            gt = zm(jnp.asarray(g.gt_phase[i]))
+            ph = zm(refined["phase"])
+            psnrs.append(float(10 * np.log10(1.0 / float(np.mean(np.asarray(ph - gt) ** 2)))))
+        # subset bar: within 4 dB of the recorded full-suite refined mean
+        assert np.mean(psnrs) >= recorded["refined_mean_psnr"] - 4.0
+
     def test_distance_predictions_in_range(self, metrics):
         """Predictions stay within the golden boxplot's 400-800 um clusters'
         physical neighbourhood (output/MNIST_test/distance_prediction.png)."""
