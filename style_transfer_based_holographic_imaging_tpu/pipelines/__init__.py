@@ -6,5 +6,14 @@ from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval impo
     evaluate_golden_suite,
 )
 from style_transfer_based_holographic_imaging_tpu.pipelines.stylize import stylize
+from style_transfer_based_holographic_imaging_tpu.pipelines.domain_eval import (
+    evaluate_synth_domain,
+)
 
-__all__ = ["retrieval_step", "make_retrieval_fn", "evaluate_golden_suite", "stylize"]
+__all__ = [
+    "retrieval_step",
+    "make_retrieval_fn",
+    "evaluate_golden_suite",
+    "evaluate_synth_domain",
+    "stylize",
+]

@@ -65,6 +65,27 @@ def test_evaluate_golden_suite_with_artifacts(goldens, params, tmp_path):
     assert sum(f.endswith("_test.png") for f in files) == 10
 
 
+def test_evaluate_synth_domain(params):
+    from style_transfer_based_holographic_imaging_tpu.config import DOMAIN_PRESETS
+    from style_transfer_based_holographic_imaging_tpu.data.synth import rbc_bank
+    from style_transfer_based_holographic_imaging_tpu.pipelines import (
+        evaluate_synth_domain,
+    )
+
+    import dataclasses
+
+    cfg = DOMAIN_PRESETS["red_blood_cell"]()
+    cfg = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, batch_size=2))
+    bank = rbc_bank(n=8, seed=123)
+    sm = np.random.default_rng(0).random((1, 1, 1, 512)).astype(np.float32)
+    ss = sm + 0.5
+    m = evaluate_synth_domain(params, cfg, bank, (sm, ss), n_batches=2)
+    assert np.isfinite(m["mean_psnr"]) and np.isfinite(m["r2"])
+    assert m["n_samples"] == 4
+    # distances come back in the domain's physical range (mm -> um)
+    assert all(3000.0 <= d <= 9000.0 for d in m["distance_true_um"])
+
+
 def test_retrieval_deterministic(goldens, params):
     cfg = ExperimentConfig()
     fn = make_retrieval_fn(cfg.physics)
