@@ -158,7 +158,11 @@ def make_train_step(
     """Build the jitted train step; with ``mesh`` the batch is sharded along
     ``cfg.dp_axis`` and params are replicated (XLA inserts the grad psum)."""
 
-    def step(state: TrainState, batch, rng):
+    def step(state: TrainState, batch, rng_base):
+        # Fold the per-step dropout key from the device-side step counter so
+        # the host loop never dispatches RNG ops (on the remote axon backend
+        # every host-side jax call is a network round trip — see train()).
+        rng = jax.random.fold_in(rng_base, state.step)
         grad_fn = jax.value_and_grad(generator_loss_fn, has_aux=True)
         (loss, aux), grads = grad_fn(
             state.params,
@@ -259,16 +263,19 @@ def train(
         start_iteration=int(state.step),
     )
     step_fn = make_train_step(net, physics, cfg, disc=disc, mesh=mesh)
-    rng = jax.random.key(config.data.seed + 2)
+    rng_base = jax.random.key(config.data.seed + 2)
 
     n_iter = cfg.iterations if iterations is None else iterations
+    # Track the step count on host: `int(state.step)` would force a blocking
+    # device->host sync EVERY iteration, which on the remote (axon) backend
+    # serializes each step behind a network round trip (measured ~5x slower).
+    # With host-side bookkeeping the loop free-runs and dispatches queue up
+    # on the device; only the periodic log line synchronizes.
+    start_step = int(state.step)
     t0 = time.time()
-    last_aux = None
     for i, batch in zip(range(n_iter), sampler):
-        rng, sub = jax.random.split(rng)
-        state, aux = step_fn(state, batch, sub)
-        last_aux = aux
-        step = int(state.step)
+        state, aux = step_fn(state, batch, rng_base)
+        step = start_step + i + 1
         if step % cfg.log_every == 0:
             aux_host = {k: float(v) for k, v in jax.device_get(aux).items()}
             rate = cfg.log_every * config.data.batch_size / max(
