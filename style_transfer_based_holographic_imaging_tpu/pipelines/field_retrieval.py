@@ -205,12 +205,14 @@ def evaluate_golden_suite(
 
         gt_phase = _zero_mean(jnp.asarray(goldens.gt_phase[i]))
         ph_foc = _zero_mean(out["ph_foc"])
-        psnr_list.append(float(psnr(ph_foc, gt_phase)))
-        mae_list.append(float(mae(ph_foc, gt_phase)))
-
-        d_true = goldens.distance_content[i].reshape(-1)
-        d_pred = np.asarray(out["distance_pred"]).reshape(-1)
-        distance_pairs.extend(zip(d_true.tolist(), d_pred.tolist()))
+        # Keep metrics on device inside the loop: a float() here would block
+        # the host on every batch (costly on the remote axon backend);
+        # everything is fetched in one go after the loop.
+        psnr_list.append(psnr(ph_foc, gt_phase))
+        mae_list.append(mae(ph_foc, gt_phase))
+        distance_pairs.append(
+            (goldens.distance_content[i].reshape(-1), out["distance_pred"])
+        )
 
         if save_dir is not None:
             montage_batches.append(
@@ -225,6 +227,16 @@ def evaluate_golden_suite(
                 }
             )
 
+    psnr_list = [float(v) for v in jax.device_get(psnr_list)]
+    mae_list = [float(v) for v in jax.device_get(mae_list)]
+    distance_pairs = [
+        (t, p)
+        for d_true, d_pred in distance_pairs
+        for t, p in zip(
+            np.asarray(d_true).reshape(-1).tolist(),
+            np.asarray(jax.device_get(d_pred)).reshape(-1).tolist(),
+        )
+    ]
     pairs = np.asarray(distance_pairs, np.float64)
     # distances to micrometres (test_field_retrieval_mnist.py:147)
     um = (
