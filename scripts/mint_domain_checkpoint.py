@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--iterations", type=int, default=12000)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--lr-schedule", choices=("invtime", "cosine"), default="cosine",
+                    help="cosine anneals to ~0 by the final step — domain runs "
+                    "with invtime showed late loss spikes that leave the final "
+                    "checkpoint mid-recovery")
     ap.add_argument("--out", type=str, required=True)
     ap.add_argument("--freeze-encoder", action="store_true",
                     help="reference semantics; default trains the encoder "
@@ -96,6 +100,7 @@ def main():
         train=TrainConfig(
             iterations=args.iterations,
             lr=args.lr,
+            lr_schedule=args.lr_schedule,
             checkpoint_every=max(args.iterations // 4, 1),
             checkpoint_dir=args.out,
             freeze_encoder=args.freeze_encoder,

@@ -152,7 +152,12 @@ class TestDecoderParity:
             want = td(torch.from_numpy(t)).numpy()
         got = nchw(AmpPhaseDecoder().apply(params, jnp.asarray(nhwc(t))))
         assert got.shape == want.shape == (2, 2, 64, 64)
-        np.testing.assert_allclose(got, want, atol=5e-4)
+        # NB: tight on purpose. A conv-transpose with its 2x2 taps flipped
+        # differs from torch by only ~3e-4 under *random* weights (it is a
+        # within-block output permutation that random stacks average away)
+        # while being catastrophic under trained weights — 5e-4 here once
+        # masked exactly that bug.
+        np.testing.assert_allclose(got, want, atol=2e-5)
 
 
 class TestDistanceParity:
@@ -288,3 +293,77 @@ class TestStyleVectorInterop:
         assert mean.shape == (1, 1, 1, 512)
         assert std.shape == (1, 1, 1, 512)
         assert np.all(std >= 0)
+
+
+class TestFastReflectConv:
+    """The SAME-conv + border-fix-up fast path must equal the materialized
+    reflect-pad path exactly (same math, fp-order tolerance only)."""
+
+    def test_fast_equals_slow(self, rng):
+        import flax.linen as nn
+
+        from style_transfer_based_holographic_imaging_tpu.models.layers import (
+            reflect_conv,
+        )
+
+        class M(nn.Module):
+            fast: bool
+
+            @nn.compact
+            def __call__(self, x):
+                return reflect_conv(x, 8, "c", fast=self.fast)
+
+        x = jnp.asarray(rng.random((3, 17, 13, 5), np.float32))
+        fast, slow = M(fast=True), M(fast=False)
+        p = fast.init(jax.random.key(0), x)
+        np.testing.assert_allclose(
+            np.asarray(fast.apply(p, x)),
+            np.asarray(slow.apply(p, x)),
+            rtol=1e-5,
+            atol=1e-5,
+        )
+
+    def test_fast_gradients_match(self, rng):
+        import flax.linen as nn
+
+        from style_transfer_based_holographic_imaging_tpu.models.layers import (
+            reflect_conv,
+        )
+
+        class M(nn.Module):
+            fast: bool
+
+            @nn.compact
+            def __call__(self, x):
+                return jnp.sum(reflect_conv(x, 4, "c", fast=self.fast) ** 2)
+
+        x = jnp.asarray(rng.random((2, 9, 9, 3), np.float32))
+        p = M(fast=True).init(jax.random.key(1), x)
+        g_fast = jax.grad(lambda p, x: M(fast=True).apply(p, x), argnums=(0, 1))(p, x)
+        g_slow = jax.grad(lambda p, x: M(fast=False).apply(p, x), argnums=(0, 1))(p, x)
+        for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_slow)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+class TestConvTransposeParity:
+    def test_matches_torch_exactly(self, rng):
+        import torch.nn as tnn
+
+        from style_transfer_based_holographic_imaging_tpu.models.layers import (
+            ConvTranspose2x2,
+        )
+
+        tm = tnn.ConvTranspose2d(6, 4, 2, stride=2).eval()
+        params = {
+            "params": {
+                "kernel": jnp.asarray(tm.weight.detach().numpy()),
+                "bias": jnp.asarray(tm.bias.detach().numpy()),
+            }
+        }
+        x = rng.random((2, 6, 5, 5)).astype(np.float32)
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x)).numpy()
+        got = nchw(ConvTranspose2x2(4).apply(params, jnp.asarray(nhwc(x))))
+        # bit-exact: the lowering must place tap (di, dj) at output
+        # (2i+di, 2j+dj) exactly as torch's scatter does
+        np.testing.assert_allclose(got, want, atol=1e-6)
