@@ -30,6 +30,13 @@ class PhysicsConfig:
     distance_normalize: float = 1.0     # d_metres = (d + const) * normalize * 1e-3
     distance_normalize_constant: float = 0.0
     pad_factor: int = 2                 # replicate-pad factor inside ASM
+    # Band-limited ASM (Matsushima & Shimobaba 2009): zero the transfer
+    # function beyond f_lim = 1 / (lambda * sqrt((2 d / S)^2 + 1)) per axis
+    # (S = padded aperture size). The reference never band-limits
+    # (Angular_Spectrum_Method.py:22-23), which is fine at its sub-mm MNIST
+    # distances but aliases at the experimental domains' 4-20 mm range
+    # (alias-free limit ~ N*px^2/lambda ~ 1.1 mm at 256^2 / 1.5 um / 532 nm).
+    band_limit: bool = False
 
     def to_metres(self, d):
         """De-normalize a distance (network units -> metres)."""
@@ -170,7 +177,9 @@ def polystyrene_config() -> ExperimentConfig:
         # distance_normalize maps the 5-20 mm range into the sigmoid head's
         # (0, 1) output (the MNIST demo uses 1.0 because its distances are
         # already sub-millimetre, test_field_retrieval_mnist.py:58-60).
-        physics=PhysicsConfig(distance_normalize=25.0),
+        # band_limit: 5-20 mm is far past the sampled transfer function's
+        # alias-free range (~1.1 mm here) — see PhysicsConfig.band_limit.
+        physics=PhysicsConfig(distance_normalize=25.0, band_limit=True),
         data=DataConfig(
             style_distances=(8.0,),
             content_distances=tuple(float(d) for d in range(5, 21)),
@@ -182,7 +191,7 @@ def red_blood_cell_config() -> ExperimentConfig:
     """Red-blood-cell streaming domain (reference: utils/Data_loader.py:104-116)."""
     return ExperimentConfig(
         name="red_blood_cell",
-        physics=PhysicsConfig(distance_normalize=10.0),
+        physics=PhysicsConfig(distance_normalize=10.0, band_limit=True),
         data=DataConfig(
             style_distances=(6.0,),
             content_distances=(4.0, 5.0, 6.0, 7.0, 8.0),

@@ -125,6 +125,8 @@ def propagate(
     wavelength: float,
     pixel_size: float,
     pad: bool = True,
+    pad_factor: int = 2,
+    band_limit: bool = False,
     backend: str | None = None,
 ) -> jax.Array:
     """Propagate a complex field by ``distance`` metres via the angular spectrum.
@@ -134,8 +136,15 @@ def propagate(
       distance: metres; scalar or broadcastable to the leading axes of
         ``field`` (e.g. shape ``(B, 1, 1, 1)`` for per-sample distances).
       wavelength, pixel_size: optical constants in metres (static).
-      pad: replicate-pad 2x before the FFT (the reference's
-        ``zero_padding=True`` — which despite its name is replicate padding).
+      pad: replicate-pad before the FFT (the reference's ``zero_padding=True``
+        — which despite its name is replicate padding).
+      pad_factor: spatial size multiple when padding (reference uses 2x,
+        Angular_Spectrum_Method.py:12; larger factors extend the alias-free
+        propagation range at FFT cost quadratic in the factor).
+      band_limit: apply the Matsushima-Shimobaba band limit
+        ``|f| <= 1 / (lambda * sqrt((2 d / S)^2 + 1))`` per frequency axis
+        (S = padded aperture extent). The reference never band-limits; enable
+        for distances beyond the alias-free limit ~ S*px/lambda.
 
     Returns:
       The propagated complex field, same shape as ``field``.
@@ -149,7 +158,14 @@ def propagate(
     # pallas_call cannot be auto-partitioned by GSPMD, so mesh-sharded jit
     # programs must stay on the XLA composition), else the module global.
     backend = backend or _BACKEND
-    eligible = pad and h % 2 == 0 and w % 2 == 0 and min(h, w) >= 16
+    eligible = (
+        pad
+        and pad_factor == 2
+        and not band_limit
+        and h % 2 == 0
+        and w % 2 == 0
+        and min(h, w) >= 16
+    )
     if backend == "auto":
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         backend = "pallas" if (eligible and on_tpu) else "xla"
@@ -162,7 +178,13 @@ def propagate(
             field, distance, wavelength=wavelength, pixel_size=pixel_size, pad=pad
         )
     return _propagate_xla(
-        field, distance, wavelength=wavelength, pixel_size=pixel_size, pad=pad
+        field,
+        distance,
+        wavelength=wavelength,
+        pixel_size=pixel_size,
+        pad=pad,
+        pad_factor=pad_factor,
+        band_limit=band_limit,
     )
 
 
@@ -173,13 +195,15 @@ def _propagate_xla(
     wavelength: float,
     pixel_size: float,
     pad: bool = True,
+    pad_factor: int = 2,
+    band_limit: bool = False,
 ) -> jax.Array:
     """The XLA-composed propagator (fft2 -> xH -> ifft2); always differentiable,
     used directly by the Pallas kernel's backward pass."""
     h, w = field.shape[-2], field.shape[-1]
 
     if pad:
-        field = pad_replicate(field, h // 2, w // 2)
+        field = pad_replicate(field, h * (pad_factor - 1) // 2, w * (pad_factor - 1) // 2)
     ph, pw = field.shape[-2], field.shape[-1]
 
     kz_rel = _kz_rel_grid(ph, pw, pixel_size=pixel_size, wavelength=wavelength)
@@ -187,6 +211,25 @@ def _propagate_xla(
     # Relative phase: broadcast per-sample distances against the (ph, pw) grid.
     phase = d * kz_rel  # (..., ph, pw) after broadcasting
     transfer = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+    if band_limit:
+        # Matsushima & Shimobaba 2009 ("Band-limited angular spectrum method
+        # for numerical simulation of free-space propagation in far and near
+        # fields"): beyond f_lim the sampled transfer function's local fringe
+        # frequency exceeds the grid Nyquist rate and aliases; zero it.
+        fy = jnp.abs(jnp.fft.fftfreq(ph, d=pixel_size).astype(jnp.float32))
+        fx = jnp.abs(jnp.fft.fftfreq(pw, d=pixel_size).astype(jnp.float32))
+        d_abs = jnp.abs(d)
+        fy_lim = 1.0 / (
+            wavelength
+            * jnp.sqrt((2.0 * d_abs / jnp.float32(ph * pixel_size)) ** 2 + 1.0)
+        )
+        fx_lim = 1.0 / (
+            wavelength
+            * jnp.sqrt((2.0 * d_abs / jnp.float32(pw * pixel_size)) ** 2 + 1.0)
+        )
+        mask = (fy[:, None] <= fy_lim) & (fx[None, :] <= fx_lim)
+        transfer = transfer * mask.astype(transfer.dtype)
 
     spectrum = jnp.fft.fft2(field)
     out = jnp.fft.ifft2(transfer * spectrum)

@@ -60,6 +60,8 @@ def holo_forward(
         wavelength=physics.wavelength,
         pixel_size=physics.pixel_size,
         pad=True,
+        pad_factor=physics.pad_factor,
+        band_limit=physics.band_limit,
         backend=asm_backend,
     )
 

@@ -185,3 +185,120 @@ class TestGoldens:
             b = gt_ph[i, 0] - gt_ph[i, 0].mean()
             corr = (a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum())
             assert corr > 0.4, f"sample {i}: corr {corr:.3f}"
+
+
+class TestBandLimitAndPadFactor:
+    """Band-limited ASM (Matsushima-Shimobaba) + the pad_factor knob."""
+
+    def _smooth_object(self, rng, n=128):
+        # a smooth phase object (random low-frequency phase) like the banks
+        ph = rng.standard_normal((8, 8)).astype(np.float32)
+        ph = np.asarray(jax.image.resize(jnp.asarray(ph), (n, n), "cubic"))
+        return (0.6 * np.exp(1j * ph)).astype(np.complex64)[None, None]
+
+    def test_band_limit_noop_at_short_distance(self, rng):
+        # At d << alias-free limit, f_lim > Nyquist so the mask passes every
+        # frequency: bit-identical results.
+        f = random_field(rng, (1, 1, 64, 64))
+        a = propagate(f, 1e-4, wavelength=WAVELENGTH, pixel_size=PX, pad=True)
+        b = propagate(
+            f, 1e-4, wavelength=WAVELENGTH, pixel_size=PX, pad=True, band_limit=True
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_band_limit_reduces_aliasing_error(self, rng):
+        # Oracle: propagate on a huge (8x) grid where H is well sampled at
+        # 6 mm. Band-limited 2x-pad propagation must land closer to it than
+        # the reference's unlimited transfer function.
+        from style_transfer_based_holographic_imaging_tpu.ops.asm import pad_replicate
+
+        obj = self._smooth_object(rng)
+        d = 6e-3
+        big = pad_replicate(jnp.asarray(obj), 448, 448)
+        oracle = np.abs(
+            np.asarray(
+                center_crop(
+                    propagate(big, d, wavelength=WAVELENGTH, pixel_size=PX, pad=False),
+                    128,
+                )
+            )
+        ) ** 2
+        plain = np.abs(
+            np.asarray(propagate(obj, d, wavelength=WAVELENGTH, pixel_size=PX, pad=True))
+        ) ** 2
+        limited = np.abs(
+            np.asarray(
+                propagate(
+                    obj, d, wavelength=WAVELENGTH, pixel_size=PX, pad=True, band_limit=True
+                )
+            )
+        ) ** 2
+        err_plain = np.sqrt(np.mean((plain - oracle) ** 2))
+        err_limited = np.sqrt(np.mean((limited - oracle) ** 2))
+        # The limit trades aliased fringes for band truncation, so the win is
+        # partial (measured ~20% RMS here) but must be a strict improvement.
+        assert err_limited < err_plain * 0.9, (err_limited, err_plain)
+
+    def test_band_limit_batched_distances(self, rng):
+        # Per-sample d must produce per-sample masks == per-sample calls.
+        f = random_field(rng, (3, 1, 64, 64))
+        ds = np.asarray([2e-3, 5e-3, 8e-3], np.float32).reshape(3, 1, 1, 1)
+        batched = np.asarray(
+            propagate(
+                f, jnp.asarray(ds), wavelength=WAVELENGTH, pixel_size=PX,
+                pad=True, band_limit=True,
+            )
+        )
+        for i in range(3):
+            single = np.asarray(
+                propagate(
+                    f[i : i + 1], float(ds[i, 0, 0, 0]), wavelength=WAVELENGTH,
+                    pixel_size=PX, pad=True, band_limit=True,
+                )
+            )
+            np.testing.assert_allclose(batched[i : i + 1], single, atol=1e-5)
+
+    def test_pad_factor_matches_manual_padding(self, rng):
+        from style_transfer_based_holographic_imaging_tpu.ops.asm import pad_replicate
+
+        f = random_field(rng, (1, 1, 64, 64))
+        d = 2e-3
+        got = np.asarray(
+            propagate(f, d, wavelength=WAVELENGTH, pixel_size=PX, pad=True, pad_factor=4)
+        )
+        manual = center_crop(
+            propagate(
+                pad_replicate(jnp.asarray(f), 96, 96),
+                d,
+                wavelength=WAVELENGTH,
+                pixel_size=PX,
+                pad=False,
+            ),
+            64,
+        )
+        np.testing.assert_allclose(got, np.asarray(manual), atol=1e-5)
+
+    def test_band_limit_gradients_flow(self, rng):
+        f = random_field(rng, (1, 1, 32, 32))
+
+        def loss(d):
+            out = propagate(
+                jnp.asarray(f), d, wavelength=WAVELENGTH, pixel_size=PX,
+                pad=True, band_limit=True,
+            )
+            return jnp.sum(jnp.abs(out) ** 2)
+
+        g = jax.grad(loss)(jnp.float32(4e-3))
+        assert np.isfinite(np.asarray(g))
+
+    def test_holo_forward_band_limit_config(self, rng):
+        # PhysicsConfig.band_limit wires through holo_forward.
+        ph = rng.random((1, 1, 64, 64)).astype(np.float32)
+        amp = np.full_like(ph, 0.6)
+        plain = np.asarray(
+            holo_forward(amp, ph, 6.0, PhysicsConfig(), asm_backend="xla")
+        )
+        limited = np.asarray(
+            holo_forward(amp, ph, 6.0, PhysicsConfig(band_limit=True), asm_backend="xla")
+        )
+        assert not np.allclose(plain, limited)
