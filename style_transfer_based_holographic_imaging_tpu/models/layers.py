@@ -24,6 +24,7 @@ __all__ = [
     "reflect_pad2d",
     "max_pool_ceil",
     "reflect_conv",
+    "ReflectConv",
     "ConvTranspose2x2",
     "instance_norm_rows",
 ]
@@ -59,6 +60,95 @@ def max_pool_ceil(x: jax.Array, window: int = 2, stride: int = 2) -> jax.Array:
     )
 
 
+class ReflectConv(nn.Module):
+    """ReflectionPad2d(k//2) + VALID Conv2d with torch-exact border semantics.
+
+    Parameter names, shapes, and init draws are identical to flax ``nn.Conv``
+    (HWIO ``kernel`` + ``bias`` under this module's scope), so converted torch
+    checkpoints keep mapping to ``params[name]['kernel'|'bias']`` and existing
+    orbax checkpoints restore unchanged.
+
+    ``fast`` (3x3 only) computes the mathematically identical result without
+    materializing the reflection-padded tensor: a SAME (zero-pad) conv — whose
+    padding lives inside the XLA convolution, no extra HBM traffic — then the
+    1-pixel border ring (whose SAME windows saw zeros instead of reflections)
+    is recomputed with ONE einsum: the four reflected strips are im2col'd into
+    a single (2B, 3, 3, W+H-2, C) window tensor and contracted against the
+    kernel. One small MXU matmul per layer replaces the two extra strip convs
+    of the naive fix-up, whose per-conv launch overhead measured ~10 ms per
+    256-batch decoder pass on v5e (~30% of the decoder budget).
+    """
+
+    features: int
+    kernel_size: int = 3
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    fast: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        pad = k // 2
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        bd = bias.astype(self.dtype)
+        b, h, w = x.shape[0], x.shape[1], x.shape[2]
+
+        if not pad or not (self.fast and k == 3 and h >= 4 and w >= 4):
+            if pad:
+                xd = reflect_pad2d(xd, pad)
+            y = jax.lax.conv_general_dilated(
+                xd, kd, (1, 1), "VALID", dimension_numbers=dn
+            )
+            return y + bd
+
+        y = jax.lax.conv_general_dilated(xd, kd, (1, 1), "SAME", dimension_numbers=dn)
+        y = y + bd
+
+        # Border windows, gathered as (N, di, dj, L, C). Top/bottom strips span
+        # the full width (their reflected columns produce the corners); the
+        # left/right strips cover output rows 1..H-2 only.
+        top = jnp.stack([xd[:, 1], xd[:, 0], xd[:, 1]], axis=1)  # axis1 = di
+        bot = jnp.stack([xd[:, h - 2], xd[:, h - 1], xd[:, h - 2]], axis=1)
+        tb = jnp.concatenate([top, bot], axis=0)  # (2B, 3, W, C)
+        tb = jnp.pad(tb, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
+        tb_win = jnp.stack([tb[:, :, j : j + w] for j in range(3)], axis=2)
+
+        left = jnp.stack([xd[:, :, 1], xd[:, :, 0], xd[:, :, 1]], axis=1)  # axis1 = dj
+        right = jnp.stack([xd[:, :, w - 2], xd[:, :, w - 1], xd[:, :, w - 2]], axis=1)
+        lr = jnp.concatenate([left, right], axis=0)  # (2B, 3, H, C)
+        lr_win = jnp.stack([lr[:, :, i : i + (h - 2)] for i in range(3)], axis=1)
+
+        strips = jnp.concatenate([tb_win, lr_win], axis=3)  # (2B, 3, 3, W+H-2, C)
+        out = (
+            jnp.einsum(
+                "bijlc,ijco->blo", strips, kd, preferred_element_type=self.dtype
+            )
+            + bd
+        )
+
+        o = self.features
+        y = jax.lax.dynamic_update_slice(y, out[:b, :w].reshape(b, 1, w, o), (0, 0, 0, 0))
+        y = jax.lax.dynamic_update_slice(
+            y, out[b:, :w].reshape(b, 1, w, o), (0, h - 1, 0, 0)
+        )
+        y = jax.lax.dynamic_update_slice(
+            y, out[:b, w:].reshape(b, h - 2, 1, o), (0, 1, 0, 0)
+        )
+        y = jax.lax.dynamic_update_slice(
+            y, out[b:, w:].reshape(b, h - 2, 1, o), (0, 1, w - 1, 0)
+        )
+        return y
+
+
 def reflect_conv(
     x: jax.Array,
     features: int,
@@ -69,57 +159,21 @@ def reflect_conv(
     param_dtype: Any = jnp.float32,
     fast: bool = True,
 ) -> jax.Array:
-    """ReflectionPad2d(k//2) + VALID Conv2d, with a flat parameter name so
-    converted torch checkpoints map to ``params[name]['kernel'|'bias']``.
+    """ReflectionPad2d(k//2) + VALID Conv2d (see ReflectConv), with a flat
+    parameter name so converted torch checkpoints map to
+    ``params[name]['kernel'|'bias']``.
 
     Must be called from inside a parent module's ``@nn.compact`` method —
-    the created ``nn.Conv`` auto-attaches to the caller.
-
-    ``fast`` (3x3 only) computes the mathematically identical result without
-    materializing the reflection-padded tensor: a SAME (zero-pad) conv — whose
-    padding lives inside the XLA convolution, no extra HBM traffic — plus a
-    border fix-up from 3-row/3-column reflected strips written in place with
-    dynamic-update-slice. Interior windows never touch padding, so only the
-    1-pixel border is recomputed (~3% extra FLOPs at 128x128, vs ~30% of the
-    decoder's runtime spent materializing pads; measured on v5e).
+    the created ``ReflectConv`` auto-attaches to the caller.
     """
-    pad = kernel_size // 2
-    conv = nn.Conv(
+    return ReflectConv(
         features=features,
-        kernel_size=(kernel_size, kernel_size),
-        padding="SAME" if (fast and kernel_size == 3) else "VALID",
+        kernel_size=kernel_size,
         dtype=dtype,
         param_dtype=param_dtype,
+        fast=fast,
         name=name,
-    )
-    if not pad:
-        return conv(x)
-    if not (fast and kernel_size == 3):
-        return conv(reflect_pad2d(x, pad))
-
-    h, w = x.shape[1], x.shape[2]
-    y = conv(x)
-
-    # Top/bottom strips span the full width with reflected columns, so they
-    # also produce the four corners correctly.
-    top = jnp.stack([x[:, 1], x[:, 0], x[:, 1]], axis=1)
-    bot = jnp.stack([x[:, h - 2], x[:, h - 1], x[:, h - 2]], axis=1)
-    tb = jnp.concatenate([top, bot], axis=0)
-    tb = jnp.pad(tb, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
-    # middle row of a SAME conv over a 3-row strip == VALID conv of the strip
-    tb_out = conv(tb)[:, 1:2, 1:-1, :]
-    b = x.shape[0]
-    y = jax.lax.dynamic_update_slice(y, tb_out[:b], (0, 0, 0, 0))
-    y = jax.lax.dynamic_update_slice(y, tb_out[b:], (0, h - 1, 0, 0))
-
-    # Left/right strips cover output rows 1..H-2 (corners already fixed).
-    left = jnp.stack([x[:, :, 1], x[:, :, 0], x[:, :, 1]], axis=2)
-    right = jnp.stack([x[:, :, w - 2], x[:, :, w - 1], x[:, :, w - 2]], axis=2)
-    lr = jnp.concatenate([left, right], axis=0)
-    lr_out = conv(lr)[:, 1 : h - 1, 1:2, :]
-    y = jax.lax.dynamic_update_slice(y, lr_out[:b], (0, 1, 0, 0))
-    y = jax.lax.dynamic_update_slice(y, lr_out[b:], (0, 1, w - 1, 0))
-    return y
+    )(x)
 
 
 class ConvTranspose2x2(nn.Module):

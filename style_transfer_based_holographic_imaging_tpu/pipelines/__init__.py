@@ -9,6 +9,10 @@ from style_transfer_based_holographic_imaging_tpu.pipelines.stylize import styli
 from style_transfer_based_holographic_imaging_tpu.pipelines.domain_eval import (
     evaluate_synth_domain,
 )
+from style_transfer_based_holographic_imaging_tpu.pipelines.autofocus import (
+    autofocus,
+    sharpness,
+)
 
 __all__ = [
     "retrieval_step",
@@ -16,4 +20,6 @@ __all__ = [
     "evaluate_golden_suite",
     "evaluate_synth_domain",
     "stylize",
+    "autofocus",
+    "sharpness",
 ]
