@@ -500,6 +500,88 @@ def cmd_stream(args):
     return 0
 
 
+def cmd_autofocus(args):
+    """Network-free distance estimation by refocus sharpness search
+    (pipelines/autofocus). Input: the bundled golden suite (--golden, a
+    self-test that also reports R² vs the true distances) or an .npz/.npy
+    array of (N, 1, H, W) intensity holograms."""
+    _setup_backend(args)
+    import numpy as np
+
+    from style_transfer_based_holographic_imaging_tpu.config import (
+        DOMAIN_PRESETS,
+        ExperimentConfig,
+    )
+    from style_transfer_based_holographic_imaging_tpu.pipelines.autofocus import (
+        autofocus,
+    )
+
+    cfg = ExperimentConfig()
+    if args.domain:
+        preset = DOMAIN_PRESETS.get(args.domain)
+        if preset is None:
+            print(f"unknown domain {args.domain!r}", file=sys.stderr)
+            return 1
+        cfg = preset()
+    physics = cfg.physics
+
+    d_true = None
+    if args.golden:
+        from style_transfer_based_holographic_imaging_tpu.data import (
+            load_golden_suite,
+        )
+
+        g = load_golden_suite()
+        holo = g.flat("content_holo")
+        d_true = g.flat("distance_content").reshape(-1)
+        lo, hi = args.d_min if args.d_min is not None else 0.2, args.d_max or 1.0
+    else:
+        if not args.input:
+            print("need --golden or --input FILE.npz", file=sys.stderr)
+            return 1
+        z = np.load(args.input)
+        holo = z[args.key] if hasattr(z, "files") else z
+        if holo.ndim == 3:
+            holo = holo[:, None]
+        if args.d_min is None or args.d_max is None:
+            print("--d-min/--d-max required with --input", file=sys.stderr)
+            return 1
+        lo, hi = args.d_min, args.d_max
+
+    d_all = []
+    for i in range(0, len(holo), args.batch_size):
+        d_found, _, _ = autofocus(
+            holo[i : i + args.batch_size],
+            lo,
+            hi,
+            physics,
+            n_coarse=args.n_coarse,
+            n_fine=args.n_fine,
+            metric=args.metric,
+        )
+        d_all.append(np.asarray(d_found))
+    d_all = np.concatenate(d_all)
+
+    out = {
+        "metric": f"autofocus ({args.metric})",
+        "n": int(len(d_all)),
+        "d_mean": float(np.mean(d_all)),
+        "unit": "network distance units (mm by default)",
+    }
+    if d_true is not None:
+        from style_transfer_based_holographic_imaging_tpu.eval.metrics import (
+            r2_score,
+        )
+
+        out["r2_vs_true"] = float(r2_score(np.asarray(d_true), d_all))
+        out["mae_mm"] = float(np.mean(np.abs(d_all - d_true)))
+    print(json.dumps(out))
+    if args.print_distances:
+        for v in d_all.tolist():
+            print(f"{v:.4f}")
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="style_transfer_based_holographic_imaging_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -568,6 +650,25 @@ def main(argv=None):
     p.add_argument("--save-dir", type=str, default="output/sweep")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("autofocus", help="network-free refocus-sharpness distance search")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--asm-backend", choices=("auto", "xla", "pallas"), default="auto")
+    p.add_argument("--golden", action="store_true",
+                   help="run on the bundled golden suite and report R² vs truth")
+    p.add_argument("--input", type=str, default=None,
+                   help=".npz/.npy of (N, 1, H, W) intensity holograms")
+    p.add_argument("--key", type=str, default="holo", help="array key inside the .npz")
+    p.add_argument("--domain", type=str, default=None,
+                   help="physics preset (mnist/polystyrene/red_blood_cell)")
+    p.add_argument("--d-min", type=float, default=None)
+    p.add_argument("--d-max", type=float, default=None)
+    p.add_argument("--n-coarse", type=int, default=33)
+    p.add_argument("--n-fine", type=int, default=17)
+    p.add_argument("--metric", choices=("tamura", "grad", "sparsity"), default="tamura")
+    p.add_argument("--batch-size", type=int, default=100)
+    p.add_argument("--print-distances", action="store_true")
+    p.set_defaults(fn=cmd_autofocus)
 
     p = sub.add_parser("stream", help="streaming .mat-tree inference (RBC mode)")
     _add_common(p)

@@ -75,3 +75,42 @@ class TestStreamCommand:
         )
         assert rc == 0
         assert '"frames": 2' in capsys.readouterr().out
+
+
+class TestAutofocusCommand:
+    def test_autofocus_npz_input(self, tmp_path, capsys):
+        import json as _json
+
+        import jax.numpy as jnp
+
+        from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
+        from style_transfer_based_holographic_imaging_tpu.data import load_golden_suite
+        from style_transfer_based_holographic_imaging_tpu.ops import holo_forward
+
+        g = load_golden_suite()
+        ph = np.asarray(g.gt_phase[0][:2])
+        holo = np.asarray(
+            holo_forward(np.full_like(ph, 0.6), ph, 0.5, PhysicsConfig())
+        )
+        f = tmp_path / "holos.npz"
+        np.savez(str(f), holo=holo)
+        rc = main(
+            [
+                "autofocus",
+                "--input", str(f),
+                "--d-min", "0.3",
+                "--d-max", "0.7",
+                "--n-coarse", "9",
+                "--n-fine", "5",
+                "--cpu",
+            ]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        rec = _json.loads(out)
+        assert rec["n"] == 2
+        assert abs(rec["d_mean"] - 0.5) < 0.08
+
+    def test_autofocus_requires_input(self, capsys):
+        rc = main(["autofocus", "--cpu"])
+        assert rc == 1
