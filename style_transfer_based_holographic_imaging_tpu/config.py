@@ -87,6 +87,11 @@ class TrainConfig:
     lr: float = 1e-4
     lr_decay: float = 5e-5
     lr_schedule: str = "invtime"         # 'invtime' | 'cosine'
+    grad_clip_norm: float = 1.0          # global-norm gradient clip; 0 disables.
+    # ^ converged minting runs were observed to be destroyed by single-step
+    # loss spikes (rbc run: distance loss 1e-4 at 9k, spike at 11.6k, final
+    # checkpoint mid-recovery); clipping bounds the damage a rare huge
+    # gradient can do.
     content_weight: float = 1.0
     style_weight: float = 10.0
     physics_weight: float = 10.0

@@ -86,6 +86,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             return cfg.lr / (1.0 + cfg.lr_decay * step)
 
     adam = optax.adam(lr_schedule)
+    if cfg.grad_clip_norm:
+        adam = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), adam)
     if not cfg.freeze_encoder:
         return adam
     return optax.multi_transform(
