@@ -48,6 +48,9 @@ class ModelConfig:
     """Architecture of the style-transfer network."""
 
     image_size: int = 128
+    width: float = 1.0                  # channel multiplier; 1.0 = reference-
+                                        # exact VGG/decoder ("fast profile"
+                                        # knob: 0.5 quarters the conv FLOPs)
     n_enc_layers: int = 4               # encoder taps relu1_1..relu4_1
     style_channels: int = 512           # channels at the deepest tap
     decoder_out_channels: int = 2       # [amplitude, phase]

@@ -28,29 +28,37 @@ __all__ = ["AmpPhaseDecoder"]
 
 
 class AmpPhaseDecoder(nn.Module):
-    """512-ch relu4_1 features (H/8) -> (B, H, W, 2) amp+phase image."""
+    """512-ch relu4_1 features (H/8) -> (B, H, W, 2) amp+phase image.
+
+    ``width`` scales every internal channel count (min 8; the 2-channel
+    output is fixed) — see VggEncoder.width.
+    """
 
     out_channels: int = 2
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, t: jax.Array) -> jax.Array:
         dt, pd = self.dtype, self.param_dtype
         x = t.astype(dt)
 
-        x = nn.relu(reflect_conv(x, 512, "conv0", dtype=dt, param_dtype=pd))
-        x = nn.relu(reflect_conv(x, 256, "conv1", dtype=dt, param_dtype=pd))
-        x = nn.relu(ConvTranspose2x2(256, dtype=dt, param_dtype=pd, name="up0")(x))
-        x = nn.relu(reflect_conv(x, 256, "conv2", dtype=dt, param_dtype=pd))
-        x = nn.relu(reflect_conv(x, 256, "conv3", dtype=dt, param_dtype=pd))
-        x = nn.relu(reflect_conv(x, 256, "conv4", dtype=dt, param_dtype=pd))
-        x = nn.relu(reflect_conv(x, 128, "conv5", dtype=dt, param_dtype=pd))
-        x = nn.relu(ConvTranspose2x2(128, dtype=dt, param_dtype=pd, name="up1")(x))
-        x = nn.relu(reflect_conv(x, 128, "conv6", dtype=dt, param_dtype=pd))
-        x = nn.relu(reflect_conv(x, 64, "conv7", dtype=dt, param_dtype=pd))
-        x = nn.relu(ConvTranspose2x2(64, dtype=dt, param_dtype=pd, name="up2")(x))
-        x = nn.relu(reflect_conv(x, 64, "conv8", dtype=dt, param_dtype=pd))
-        x = nn.relu(reflect_conv(x, 64, "conv9", dtype=dt, param_dtype=pd))
+        def w(f: int) -> int:
+            return max(int(round(f * self.width)), 8)
+
+        x = nn.relu(reflect_conv(x, w(512), "conv0", dtype=dt, param_dtype=pd))
+        x = nn.relu(reflect_conv(x, w(256), "conv1", dtype=dt, param_dtype=pd))
+        x = nn.relu(ConvTranspose2x2(w(256), dtype=dt, param_dtype=pd, name="up0")(x))
+        x = nn.relu(reflect_conv(x, w(256), "conv2", dtype=dt, param_dtype=pd))
+        x = nn.relu(reflect_conv(x, w(256), "conv3", dtype=dt, param_dtype=pd))
+        x = nn.relu(reflect_conv(x, w(256), "conv4", dtype=dt, param_dtype=pd))
+        x = nn.relu(reflect_conv(x, w(128), "conv5", dtype=dt, param_dtype=pd))
+        x = nn.relu(ConvTranspose2x2(w(128), dtype=dt, param_dtype=pd, name="up1")(x))
+        x = nn.relu(reflect_conv(x, w(128), "conv6", dtype=dt, param_dtype=pd))
+        x = nn.relu(reflect_conv(x, w(64), "conv7", dtype=dt, param_dtype=pd))
+        x = nn.relu(ConvTranspose2x2(w(64), dtype=dt, param_dtype=pd, name="up2")(x))
+        x = nn.relu(reflect_conv(x, w(64), "conv8", dtype=dt, param_dtype=pd))
+        x = nn.relu(reflect_conv(x, w(64), "conv9", dtype=dt, param_dtype=pd))
         x = reflect_conv(x, self.out_channels, "conv10", dtype=dt, param_dtype=pd)
         return x

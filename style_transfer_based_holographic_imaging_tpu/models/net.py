@@ -75,13 +75,19 @@ class StyleTransferNet(nn.Module):
                                          # (net.py:252); off by default.
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    width: float = 1.0                   # channel multiplier ("fast profile");
+                                         # 1.0 = reference-exact architecture.
 
     def setup(self):
-        self.encoder = VggEncoder(dtype=self.dtype, param_dtype=self.param_dtype)
-        self.decoder = AmpPhaseDecoder(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.encoder = VggEncoder(
+            dtype=self.dtype, param_dtype=self.param_dtype, width=self.width
+        )
+        self.decoder = AmpPhaseDecoder(
+            dtype=self.dtype, param_dtype=self.param_dtype, width=self.width
+        )
         if self.with_phase_decoder:
             self.decoder_ph = AmpPhaseDecoder(
-                dtype=self.dtype, param_dtype=self.param_dtype
+                dtype=self.dtype, param_dtype=self.param_dtype, width=self.width
             )
         self.distance_g = DistanceMLP(dtype=self.dtype, param_dtype=self.param_dtype)
 

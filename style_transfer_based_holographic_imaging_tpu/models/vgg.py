@@ -47,10 +47,17 @@ _BLOCKS: Tuple[Tuple[Tuple[str, int, bool], ...], ...] = (
 
 
 class VggEncoder(nn.Module):
-    """VGG-19 front end (grayscale stem) exposing relu{1..4}_1 taps."""
+    """VGG-19 front end (grayscale stem) exposing relu{1..4}_1 taps.
+
+    ``width`` scales every conv's channel count (min 8) — the "fast profile"
+    knob: width=0.5 quarters the FLOPs. width=1.0 is the reference-exact
+    architecture (torch-checkpoint compatible); any other width is a new
+    TPU-native family that must be trained from scratch.
+    """
 
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, x: jax.Array, *, all_taps: bool = False):
@@ -79,7 +86,11 @@ class VggEncoder(nn.Module):
                 if pool_before:
                     x = max_pool_ceil(x, 2, 2)
                 x = reflect_conv(
-                    x, features, name, dtype=self.dtype, param_dtype=self.param_dtype
+                    x,
+                    max(int(round(features * self.width)), 8),
+                    name,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
                 )
                 x = nn.relu(x)
             taps.append(x)

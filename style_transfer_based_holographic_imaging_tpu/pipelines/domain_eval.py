@@ -54,7 +54,9 @@ def evaluate_synth_domain(
     ``seed`` and further randomizes the eval stream.
     """
     physics = config.physics
-    fn = make_retrieval_fn(physics, alpha=config.eval.alpha, dtype=dtype)
+    fn = make_retrieval_fn(
+        physics, alpha=config.eval.alpha, dtype=dtype, width=config.model.width
+    )
     sm, ss = (jnp.asarray(style[0]), jnp.asarray(style[1]))
     bank_j = jnp.asarray(bank, jnp.float32)
 

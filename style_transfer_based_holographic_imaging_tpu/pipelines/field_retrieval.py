@@ -119,13 +119,18 @@ def make_retrieval_fn(
     unwrap: bool = True,
     donate: bool = False,
     dtype=None,
+    width: float = 1.0,
 ):
     """A jit-compiled retrieval step closed over the static config.
 
     ``dtype=jnp.bfloat16`` runs the conv stack in bf16 (MXU-native); the
-    physics (FFT/complex) path always stays fp32.
+    physics (FFT/complex) path always stays fp32. ``width`` selects a
+    channel-scaled "fast profile" architecture (ModelConfig.width).
     """
-    net = StyleTransferNet(dtype=dtype) if dtype is not None else None
+    if dtype is not None or width != 1.0:
+        net = StyleTransferNet(dtype=dtype or jnp.float32, width=width)
+    else:
+        net = None
     step = functools.partial(
         retrieval_step,
         physics=physics,
@@ -163,7 +168,9 @@ def evaluate_golden_suite(
 
     config = config or ExperimentConfig()
     physics = config.physics
-    fn = make_retrieval_fn(physics, alpha=config.eval.alpha, dtype=dtype)
+    fn = make_retrieval_fn(
+        physics, alpha=config.eval.alpha, dtype=dtype, width=config.model.width
+    )
 
     if style_override is not None:
         sm, ss = (jnp.asarray(style_override[0]), jnp.asarray(style_override[1]))

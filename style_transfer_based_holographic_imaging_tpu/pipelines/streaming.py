@@ -63,7 +63,7 @@ def stream_retrieval(
     experimental domains have no known-amplitude prior).
     """
     config = config or ExperimentConfig()
-    fn = make_retrieval_fn(config.physics, dtype=dtype)
+    fn = make_retrieval_fn(config.physics, dtype=dtype, width=config.model.width)
     sm = jnp.asarray(style_vector[0])
     ss = jnp.asarray(style_vector[1])
     d_s = (

@@ -65,7 +65,11 @@ def extract_style_vector(
             data=config.data,
             physics=config.physics,
         )
-        m, s = style_vector_from_holograms(params, batch["style_holo"])
+        m, s = style_vector_from_holograms(
+            params,
+            batch["style_holo"],
+            net=StyleTransferNet(width=config.model.width),
+        )
         means.append(m)
         stds.append(s)
     return (

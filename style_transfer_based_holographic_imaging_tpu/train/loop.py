@@ -234,11 +234,13 @@ def train(
 
     cfg = config.train
     physics = config.physics
-    net = StyleTransferNet()
+    net = StyleTransferNet(width=config.model.width)
     if bank is None:
         bank = sklearn_digit_bank()
     if state is None:
-        params = init_net_params(jax.random.key(config.data.seed))
+        params = init_net_params(
+            jax.random.key(config.data.seed), width=config.model.width
+        )
         disc_params = None
         disc = None
         if cfg.adv_weight:

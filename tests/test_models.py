@@ -367,3 +367,76 @@ class TestConvTransposeParity:
         # bit-exact: the lowering must place tap (di, dj) at output
         # (2i+di, 2j+dj) exactly as torch's scatter does
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestWidthMultiplier:
+    """The 'fast profile' knob: channel-scaled architecture family."""
+
+    def test_half_width_shapes(self):
+        from style_transfer_based_holographic_imaging_tpu.models import (
+            StyleTransferNet,
+            init_net_params,
+        )
+
+        params = init_net_params(jax.random.key(0), image_size=64, width=0.5)
+        inner = params["params"]
+        assert inner["encoder"]["conv4_1"]["kernel"].shape[-1] == 256
+        assert inner["decoder"]["conv0"]["kernel"].shape[-1] == 256
+        # fixed 2-channel output regardless of width
+        assert inner["decoder"]["conv10"]["kernel"].shape[-1] == 2
+
+        net = StyleTransferNet(width=0.5)
+        x = jnp.ones((2, 64, 64, 1), jnp.float32)
+        sm = jnp.ones((1, 1, 1, 256))
+        ss = jnp.ones((1, 1, 1, 256))
+        amp, ph, d = net.apply(
+            params, x, sm, ss, 1.0,
+            unknown_distance=True,
+            method=StyleTransferNet.field_retrieval,
+        )
+        assert amp.shape == (2, 64, 64, 1)
+        assert ph.shape == (2, 64, 64, 1)
+        assert d.shape == (2, 1)
+
+    def test_width_via_retrieval_fn(self):
+        from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
+        from style_transfer_based_holographic_imaging_tpu.models import init_net_params
+        from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
+            make_retrieval_fn,
+        )
+
+        params = init_net_params(jax.random.key(0), image_size=64, width=0.25)
+        fn = make_retrieval_fn(PhysicsConfig(), width=0.25)
+        holo = jnp.full((2, 1, 64, 64), 0.3, jnp.float32)
+        c = 128  # max(round(512 * 0.25), 8)
+        out = fn(
+            params, holo, jnp.ones((1, 1, 1, c)), jnp.ones((1, 1, 1, c)),
+            jnp.full((2, 1, 1, 1), 0.2),
+        )
+        assert out["amp_foc"].shape == (2, 1, 64, 64)
+        assert out["distance_pred"].shape == (2, 1, 1, 1)
+
+    def test_train_step_half_width(self):
+        import dataclasses as dc
+
+        from style_transfer_based_holographic_imaging_tpu.config import (
+            DataConfig,
+            ExperimentConfig,
+            ModelConfig,
+            TrainConfig,
+        )
+        from style_transfer_based_holographic_imaging_tpu.data.synth import (
+            sklearn_digit_bank,
+        )
+        from style_transfer_based_holographic_imaging_tpu.train import train
+
+        cfg = ExperimentConfig(
+            model=ModelConfig(width=0.5, image_size=64),
+            data=DataConfig(batch_size=2, image_size=64, digit_pad=0),
+            train=TrainConfig(
+                iterations=2, freeze_encoder=False, checkpoint_every=1000,
+                log_every=1000,
+            ),
+        )
+        state = train(cfg, bank=sklearn_digit_bank()[:16])
+        assert int(state.step) == 2
