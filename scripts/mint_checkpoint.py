@@ -39,6 +39,8 @@ def main():
                     "to ~50%% — the reference trains on the MNIST distribution "
                     "its test set is drawn from; sklearn-only provably does not "
                     "transfer)")
+    ap.add_argument("--width", type=float, default=1.0,
+                    help="fast-profile channel multiplier (1.0 = reference-exact)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -50,6 +52,7 @@ def main():
     from style_transfer_based_holographic_imaging_tpu.config import (
         DataConfig,
         ExperimentConfig,
+        ModelConfig,
         TrainConfig,
     )
     from style_transfer_based_holographic_imaging_tpu.data import load_golden_suite
@@ -64,6 +67,7 @@ def main():
     from style_transfer_based_holographic_imaging_tpu.train import train, save_checkpoint
 
     cfg = ExperimentConfig(
+        model=ModelConfig(width=args.width),
         data=DataConfig(batch_size=args.batch_size, seed=args.seed),
         train=TrainConfig(
             iterations=args.iterations,

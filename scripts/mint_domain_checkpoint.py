@@ -56,6 +56,8 @@ def main():
     ap.add_argument("--refine", type=int, default=100)
     ap.add_argument("--promote", action="store_true",
                     help="copy release artifacts into checkpoints/")
+    ap.add_argument("--width", type=float, default=1.0,
+                    help="fast-profile channel multiplier (1.0 = reference-exact)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -69,6 +71,7 @@ def main():
     from style_transfer_based_holographic_imaging_tpu.config import (
         DOMAIN_PRESETS,
         ExperimentConfig,
+        ModelConfig,
         TrainConfig,
     )
     from style_transfer_based_holographic_imaging_tpu.data.synth import (
@@ -93,6 +96,7 @@ def main():
     preset = DOMAIN_PRESETS[args.domain]()
     cfg = ExperimentConfig(
         name=preset.name,
+        model=ModelConfig(width=args.width),
         physics=preset.physics,
         data=dataclasses.replace(
             preset.data, batch_size=args.batch_size, seed=args.seed

@@ -89,6 +89,27 @@ def _load_params(args):
     return params
 
 
+def _load_config(args):
+    """The run config serialized next to the checkpoint (mint writes it);
+    None when absent. Keeps eval consistent with how the run was trained
+    (model width, eval alpha, physics) — the release gate test does the same."""
+    from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+
+    ckpt = getattr(args, "checkpoint", None) or _default_ckpt()
+    if not ckpt:
+        return None
+    for cand in (
+        os.path.join(ckpt, "config.json"),
+        os.path.join(os.path.dirname(ckpt.rstrip("/")), "config.json"),
+    ):
+        if os.path.isfile(cand):
+            with open(cand) as f:
+                cfg = ExperimentConfig.from_json(f.read())
+            print(f"loaded run config {cand}", file=sys.stderr)
+            return cfg
+    return None
+
+
 def _load_style(args):
     import numpy as np
 
@@ -119,7 +140,7 @@ def cmd_eval(args):
     params = _load_params(args)
     style = _load_style(args)
     goldens = load_golden_suite()
-    cfg = ExperimentConfig()
+    cfg = _load_config(args) or ExperimentConfig()
     save_dir = os.path.join(args.save_dir, args.exp_name) if args.save_dir else None
 
     import contextlib
