@@ -152,7 +152,16 @@ class ExperimentConfig:
             if sub is None:
                 return tp()
             names = {f.name for f in dataclasses.fields(tp)}
-            return tp(**{k: v for k, v in sub.items() if k in names})
+            # JSON round-trips tuples as lists; these frozen configs are used
+            # as static jit arguments, so sequence fields must come back
+            # hashable (tuples).
+            return tp(
+                **{
+                    k: tuple(v) if isinstance(v, list) else v
+                    for k, v in sub.items()
+                    if k in names
+                }
+            )
 
         return cls(
             name=d.get("name", "mnist"),

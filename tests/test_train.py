@@ -202,3 +202,24 @@ class TestGradClip:
         tx = make_optimizer(TrainConfig(freeze_encoder=False, grad_clip_norm=0.0))
         upd, _ = tx.update({"w": jnp.ones((4,))}, tx.init(params), params)
         assert jnp.all(jnp.isfinite(upd["w"]))
+
+
+class TestConfigRoundtrip:
+    def test_json_roundtrip_stays_hashable(self):
+        """JSON deserialization must return tuples for sequence fields —
+        these frozen configs are static jit arguments (a restored config
+        with list fields crashed extract_style_vector with
+        'unhashable type: list')."""
+        from style_transfer_based_holographic_imaging_tpu.config import (
+            DOMAIN_PRESETS,
+            ExperimentConfig,
+        )
+
+        for name in ("mnist", "polystyrene", "red_blood_cell"):
+            cfg = DOMAIN_PRESETS[name]()
+            back = ExperimentConfig.from_json(cfg.to_json())
+            hash(back.data)
+            hash(back.physics)
+            assert back.data.content_distances == cfg.data.content_distances
+            assert back.physics.band_limit == cfg.physics.band_limit
+            assert back.model.width == cfg.model.width
