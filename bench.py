@@ -102,6 +102,22 @@ def main():
             print(f"batch {batch} failed: {e}", file=sys.stderr)
     asm.set_asm_backend("xla")
 
+    # FYI (stderr only — the official metric is the reference-exact width-1.0
+    # architecture): the width-0.5 fast profile's throughput on the winning
+    # backend. Architecture speed only; quality requires a minted fast release.
+    try:
+        fn_fast = make_retrieval_fn(physics, dtype=jnp.bfloat16, width=0.5)
+        params_fast = init_net_params(jax.random.key(0), width=0.5)
+        rng_f = np.random.default_rng(0)
+        holo = jnp.asarray(rng_f.random((256, 1, 128, 128), np.float32) * 0.6 + 0.05)
+        sm_f = jnp.asarray(rng_f.random((1, 1, 1, 256), np.float32))
+        ss_f = jnp.asarray(rng_f.random((1, 1, 1, 256), np.float32) + 0.5)
+        d_f = jnp.full((256, 1, 1, 1), 0.2, jnp.float32)
+        fast = _time_fn(fn_fast, (params_fast, holo, sm_f, ss_f, d_f), 256, reps=2)
+        print(f"fast profile (width=0.5) b=256: {fast:.1f} holo/s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"fast-profile probe failed: {e}", file=sys.stderr)
+
     winner = max(results, key=results.get)
     holos_per_sec = results[winner]
     winner = f"{winner[0]}, batch {winner[1]}"
