@@ -19,6 +19,8 @@ single-device; SURVEY.md §2).
 from __future__ import annotations
 
 import functools
+import json
+import os
 import time
 from typing import Any, Dict, Optional, Tuple
 
@@ -289,6 +291,20 @@ def train(
                 + " ".join(f"{k}={v:.4f}" for k, v in sorted(aux_host.items()))
                 + f" | {rate:.1f} img/s"
             )
+            # Structured sink alongside the checkpoints (the reference pins
+            # tensorboardX for this role, requirements.txt:6; JSONL is the
+            # grep/pandas-friendly equivalent).
+            if cfg.checkpoint_dir:
+                os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+                with open(
+                    os.path.join(cfg.checkpoint_dir, "train_metrics.jsonl"), "a"
+                ) as f:
+                    f.write(
+                        json.dumps(
+                            {"step": step, "img_per_sec": round(rate, 1), **aux_host}
+                        )
+                        + "\n"
+                    )
         if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
             save_checkpoint(state, cfg.checkpoint_dir)
     return state

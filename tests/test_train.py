@@ -223,3 +223,33 @@ class TestConfigRoundtrip:
             assert back.data.content_distances == cfg.data.content_distances
             assert back.physics.band_limit == cfg.physics.band_limit
             assert back.model.width == cfg.model.width
+
+
+class TestTrainMetricsJsonl:
+    def test_jsonl_written(self, tmp_path):
+        import json as _json
+
+        from style_transfer_based_holographic_imaging_tpu.config import (
+            DataConfig,
+            ExperimentConfig,
+            TrainConfig,
+        )
+        from style_transfer_based_holographic_imaging_tpu.data.synth import (
+            sklearn_digit_bank,
+        )
+        from style_transfer_based_holographic_imaging_tpu.train import train
+
+        out = tmp_path / "run"
+        cfg = ExperimentConfig(
+            data=DataConfig(batch_size=2, image_size=64, digit_pad=0),
+            train=TrainConfig(
+                iterations=2, freeze_encoder=False, checkpoint_every=0,
+                log_every=1, checkpoint_dir=str(out),
+            ),
+        )
+        train(cfg, bank=sklearn_digit_bank()[:8])
+        lines = (out / "train_metrics.jsonl").read_text().strip().splitlines()
+        assert len(lines) == 2
+        rec = _json.loads(lines[-1])
+        assert rec["step"] == 2
+        assert "loss_total" in rec and "img_per_sec" in rec
