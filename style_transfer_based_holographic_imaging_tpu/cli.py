@@ -98,10 +98,13 @@ def _load_config(args):
     ckpt = getattr(args, "checkpoint", None) or _default_ckpt()
     if not ckpt:
         return None
-    for cand in (
-        os.path.join(ckpt, "config.json"),
-        os.path.join(os.path.dirname(ckpt.rstrip("/")), "config.json"),
-    ):
+    cands = [os.path.join(ckpt, "config.json")]
+    # The parent dir's config.json belongs to the canonical `release`
+    # checkpoint only — a sibling like rbc_release must not inherit the MNIST
+    # release's physics.
+    if os.path.basename(ckpt.rstrip("/")) == "release":
+        cands.append(os.path.join(os.path.dirname(ckpt.rstrip("/")), "config.json"))
+    for cand in cands:
         if os.path.isfile(cand):
             with open(cand) as f:
                 cfg = ExperimentConfig.from_json(f.read())
