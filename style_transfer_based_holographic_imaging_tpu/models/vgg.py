@@ -43,6 +43,15 @@ _BLOCKS: Tuple[Tuple[Tuple[str, int, bool], ...], ...] = (
         ("conv3_4", 256, False),
         ("conv4_1", 512, True),
     ),
+    # -> relu5_1 — the reference's optional enc_5 slice [31:44]
+    # (net.py:152-153, built only when the encoder Sequential has >35
+    # layers; unused by the shipped demo, which truncates at relu4_1).
+    (
+        ("conv4_2", 512, False),
+        ("conv4_3", 512, False),
+        ("conv4_4", 512, False),
+        ("conv5_1", 512, True),
+    ),
 )
 
 
@@ -58,6 +67,10 @@ class VggEncoder(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     width: float = 1.0
+    n_taps: int = 4                      # 4 = relu4_1 (the shipped demo's
+                                         # truncation, [:31]); 5 adds the
+                                         # reference's optional enc_5 relu5_1
+                                         # slice (net.py:152-153).
 
     @nn.compact
     def __call__(self, x: jax.Array, *, all_taps: bool = False):
@@ -65,9 +78,10 @@ class VggEncoder(nn.Module):
 
         Args:
           x: (B, H, W, 1) hologram amplitudes.
-          all_taps: if True return [relu1_1, relu2_1, relu3_1, relu4_1]
-            (reference: Net.encode_with_intermediate, net.py:173-178);
-            otherwise just relu4_1 (Net.encode, net.py:181-184).
+          all_taps: if True return [relu1_1, relu2_1, relu3_1, relu4_1(,
+            relu5_1)] (reference: Net.encode_with_intermediate,
+            net.py:173-178); otherwise just the deepest tap
+            (Net.encode, net.py:181-184).
         """
         x = x.astype(self.dtype)
         # 1x1 grayscale stem (net.py:77).
@@ -81,7 +95,7 @@ class VggEncoder(nn.Module):
         )(x)
 
         taps: List[jax.Array] = []
-        for block in _BLOCKS:
+        for block in _BLOCKS[: self.n_taps]:
             for name, features, pool_before in block:
                 if pool_before:
                     x = max_pool_ceil(x, 2, 2)

@@ -440,3 +440,24 @@ class TestWidthMultiplier:
         )
         state = train(cfg, bank=sklearn_digit_bank()[:16])
         assert int(state.step) == 2
+
+
+class TestVggFiveTaps:
+    def test_relu5_1_tap(self):
+        from style_transfer_based_holographic_imaging_tpu.models.vgg import VggEncoder
+
+        enc = VggEncoder(n_taps=5)
+        x = jnp.ones((1, 64, 64, 1), jnp.float32)
+        params = enc.init(jax.random.key(0), x)
+        taps = enc.apply(params, x, all_taps=True)
+        assert len(taps) == 5
+        # relu4_1 at H/8, relu5_1 at H/16, both 512-ch
+        assert taps[3].shape == (1, 8, 8, 512)
+        assert taps[4].shape == (1, 4, 4, 512)
+        # default 4-tap encoder params are a strict subset (same names/shapes)
+        p4 = VggEncoder().init(jax.random.key(0), x)["params"]
+        p5 = params["params"]
+        for name, v in p4.items():
+            assert jax.tree.map(lambda a: a.shape, v) == jax.tree.map(
+                lambda a: a.shape, p5[name]
+            )
