@@ -135,35 +135,16 @@ class ReflectConv(nn.Module):
             + bd
         )
 
-        # Overwrite the border ring as fusable zero-padded correction adds
-        # (true_border - same_conv_border): XLA fuses the four pad+adds into
-        # one elementwise pass over y, where a chain of dynamic-update-slices
-        # measured ~2 extra full-tensor passes per conv on v5e. The trade:
-        # border values become y + (out - y) rather than out exactly — a
-        # 1-ulp-of-compute-dtype difference on the 1-pixel ring.
         o = self.features
-
-        def strip_pad(v, cfg):
-            return jnp.pad(v, ((0, 0), *cfg, (0, 0)))
-
-        y = (
-            y
-            + strip_pad(
-                (out[:b, :w] - y[:, 0]).reshape(b, 1, w, o),
-                ((0, h - 1), (0, 0)),
-            )
-            + strip_pad(
-                (out[b:, :w] - y[:, h - 1]).reshape(b, 1, w, o),
-                ((h - 1, 0), (0, 0)),
-            )
-            + strip_pad(
-                (out[:b, w:] - y[:, 1 : h - 1, 0]).reshape(b, h - 2, 1, o),
-                ((1, 1), (0, w - 1)),
-            )
-            + strip_pad(
-                (out[b:, w:] - y[:, 1 : h - 1, w - 1]).reshape(b, h - 2, 1, o),
-                ((1, 1), (w - 1, 0)),
-            )
+        y = jax.lax.dynamic_update_slice(y, out[:b, :w].reshape(b, 1, w, o), (0, 0, 0, 0))
+        y = jax.lax.dynamic_update_slice(
+            y, out[b:, :w].reshape(b, 1, w, o), (0, h - 1, 0, 0)
+        )
+        y = jax.lax.dynamic_update_slice(
+            y, out[:b, w:].reshape(b, h - 2, 1, o), (0, 1, 0, 0)
+        )
+        y = jax.lax.dynamic_update_slice(
+            y, out[b:, w:].reshape(b, h - 2, 1, o), (0, 1, w - 1, 0)
         )
         return y
 
