@@ -114,3 +114,43 @@ class TestReleaseCheckpoint:
         physical neighbourhood (output/MNIST_test/distance_prediction.png)."""
         d = np.asarray(metrics["distance_pred_um"])
         assert np.all((d > 0.0) & (d < 1500.0))
+
+
+FAST = os.path.join(REPO, "checkpoints", "fast")
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(os.path.join(FAST, "release")),
+    reason="no fast-profile release minted",
+)
+class TestFastProfileRelease:
+    def test_meets_recorded_bar(self):
+        import orbax.checkpoint as ocp
+
+        from style_transfer_based_holographic_imaging_tpu.config import (
+            ExperimentConfig,
+        )
+        from style_transfer_based_holographic_imaging_tpu.data import (
+            load_golden_suite,
+        )
+        from style_transfer_based_holographic_imaging_tpu.pipelines import (
+            evaluate_golden_suite,
+        )
+
+        with open(os.path.join(FAST, "config.json")) as f:
+            cfg = ExperimentConfig.from_json(f.read())
+        assert cfg.model.width != 1.0  # the point of this release
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(os.path.join(FAST, "release"))
+        )
+        sv = np.load(os.path.join(FAST, "style_vector.npz"))
+        metrics = evaluate_golden_suite(
+            restored["params"],
+            load_golden_suite(),
+            cfg,
+            style_override=(sv["mean"], sv["std"]),
+        )
+        with open(os.path.join(FAST, "golden_metrics.json")) as f:
+            recorded = json.load(f)
+        assert metrics["mean_psnr"] >= 0.95 * recorded["mean_psnr"]
+        assert metrics["r2"] >= min(0.95 * recorded["r2"], recorded["r2"])
