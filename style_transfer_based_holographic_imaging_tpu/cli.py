@@ -162,6 +162,7 @@ def cmd_eval(args):
             save_dir=save_dir,
             style_override=style,
             refine_steps=args.refine,
+            refine_distance=args.refine_distance,
         )
     print(f"Mean PSNR: {metrics['mean_psnr']:.4f}")
     print(f"Mean MAE: {metrics['mean_mae']:.6f}")
@@ -620,6 +621,9 @@ def main(argv=None):
     p.add_argument("--refine", type=int, default=0, metavar="STEPS",
                    help="physics-consistent refinement steps per batch (0 = "
                    "the reference's network-only inference)")
+    p.add_argument("--refine-distance", action="store_true",
+                   help="also autofocus the predicted distance during "
+                   "refinement (pipelines.refine refine_distance)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("train", help="train on synthesized holograms")

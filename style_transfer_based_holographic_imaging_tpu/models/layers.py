@@ -27,7 +27,27 @@ __all__ = [
     "ReflectConv",
     "ConvTranspose2x2",
     "instance_norm_rows",
+    "set_reflect_backend",
 ]
+
+# Border handling for ReflectConv: "einsum" (SAME conv + XLA border-ring
+# fix-up), "pallas" (SAME conv + fused TPU ring kernel,
+# kernels/reflect_border.py), "matpad" (materialize the reflection pad and
+# run a VALID conv), or "auto". Measured on v5e at batch 256
+# (scripts/exp_reflect_stack.py, exp_border_kernel.py): in-conv-chain
+# context matpad taxes +0.2-2.5 ms/conv over a plain SAME conv, einsum
+# +1.1-2.8, and pallas — though fastest in isolation — serializes the chain
+# (pallas_call is a fusion/layout barrier between convolutions), so "auto"
+# resolves to matpad. Trace-time setting, like ops.asm.set_asm_backend:
+# rebuild jitted functions after changing it.
+_REFLECT_BACKEND = "auto"
+
+
+def set_reflect_backend(backend: str) -> None:
+    global _REFLECT_BACKEND
+    if backend not in ("auto", "pallas", "einsum", "matpad"):
+        raise ValueError(f"unknown reflect backend {backend!r}")
+    _REFLECT_BACKEND = backend
 
 
 def reflect_pad2d(x: jax.Array, pad: int = 1) -> jax.Array:
@@ -102,7 +122,11 @@ class ReflectConv(nn.Module):
         bd = bias.astype(self.dtype)
         b, h, w = x.shape[0], x.shape[1], x.shape[2]
 
-        if not pad or not (self.fast and k == 3 and h >= 4 and w >= 4):
+        backend = "matpad" if _REFLECT_BACKEND == "auto" else _REFLECT_BACKEND
+        use_fast = (
+            backend != "matpad" and self.fast and k == 3 and h >= 4 and w >= 4
+        )
+        if not pad or not use_fast:
             if pad:
                 xd = reflect_pad2d(xd, pad)
             y = jax.lax.conv_general_dilated(
@@ -113,38 +137,21 @@ class ReflectConv(nn.Module):
         y = jax.lax.conv_general_dilated(xd, kd, (1, 1), "SAME", dimension_numbers=dn)
         y = y + bd
 
-        # Border windows, gathered as (N, di, dj, L, C). Top/bottom strips span
-        # the full width (their reflected columns produce the corners); the
-        # left/right strips cover output rows 1..H-2 only.
-        top = jnp.stack([xd[:, 1], xd[:, 0], xd[:, 1]], axis=1)  # axis1 = di
-        bot = jnp.stack([xd[:, h - 2], xd[:, h - 1], xd[:, h - 2]], axis=1)
-        tb = jnp.concatenate([top, bot], axis=0)  # (2B, 3, W, C)
-        tb = jnp.pad(tb, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
-        tb_win = jnp.stack([tb[:, :, j : j + w] for j in range(3)], axis=2)
-
-        left = jnp.stack([xd[:, :, 1], xd[:, :, 0], xd[:, :, 1]], axis=1)  # axis1 = dj
-        right = jnp.stack([xd[:, :, w - 2], xd[:, :, w - 1], xd[:, :, w - 2]], axis=1)
-        lr = jnp.concatenate([left, right], axis=0)  # (2B, 3, H, C)
-        lr_win = jnp.stack([lr[:, :, i : i + (h - 2)] for i in range(3)], axis=1)
-
-        strips = jnp.concatenate([tb_win, lr_win], axis=3)  # (2B, 3, 3, W+H-2, C)
-        out = (
-            jnp.einsum(
-                "bijlc,ijco->blo", strips, kd, preferred_element_type=self.dtype
-            )
-            + bd
+        # Border ring: rows (B, 2, W, O) and cols (B, H, 2, O), computed from
+        # the four edge slabs of x only — a fused Pallas kernel on TPU, an
+        # XLA einsum elsewhere (kernels/reflect_border.py). The four
+        # dynamic_update_slice writes fuse with downstream elementwise ops
+        # and measure free (scripts/exp_reflect_attr.py).
+        from style_transfer_based_holographic_imaging_tpu.kernels.reflect_border import (
+            border_lines,
         )
 
-        o = self.features
-        y = jax.lax.dynamic_update_slice(y, out[:b, :w].reshape(b, 1, w, o), (0, 0, 0, 0))
+        rows, cols = border_lines(xd, kd, backend=backend)
+        y = jax.lax.dynamic_update_slice(y, rows[:, 0:1] + bd, (0, 0, 0, 0))
+        y = jax.lax.dynamic_update_slice(y, rows[:, 1:2] + bd, (0, h - 1, 0, 0))
+        y = jax.lax.dynamic_update_slice(y, cols[:, 1 : h - 1, 0:1] + bd, (0, 1, 0, 0))
         y = jax.lax.dynamic_update_slice(
-            y, out[b:, :w].reshape(b, 1, w, o), (0, h - 1, 0, 0)
-        )
-        y = jax.lax.dynamic_update_slice(
-            y, out[:b, w:].reshape(b, h - 2, 1, o), (0, 1, 0, 0)
-        )
-        y = jax.lax.dynamic_update_slice(
-            y, out[b:, w:].reshape(b, h - 2, 1, o), (0, 1, w - 1, 0)
+            y, cols[:, 1 : h - 1, 1:2] + bd, (0, 1, w - 1, 0)
         )
         return y
 

@@ -151,6 +151,7 @@ def evaluate_golden_suite(
     style_override: Optional[Tuple[jax.Array, jax.Array]] = None,
     dtype=None,
     refine_steps: int = 0,
+    refine_distance: bool = False,
 ) -> Dict[str, Any]:
     """Run the bundled 20x5 golden suite and emit the reference's metrics.
 
@@ -207,6 +208,7 @@ def evaluate_golden_suite(
                 physics,
                 steps=refine_steps,
                 optimize_amp=False,
+                refine_distance=refine_distance,
             )
             out = dict(out, ph_foc=refined["phase"])
 

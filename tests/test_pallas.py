@@ -111,3 +111,71 @@ class TestBackendRouter:
             assert out.shape == f.shape
         finally:
             asm.set_asm_backend("xla")
+
+
+class TestReflectBorderKernel:
+    """Border-ring kernel (kernels/reflect_border.py) vs materialized
+    reflect-pad conv ground truth, plus gradient parity of the custom_vjp."""
+
+    def _truth(self, x, k):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        y = jax.lax.conv_general_dilated(
+            xp, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        h, w = x.shape[1], x.shape[2]
+        return (
+            jnp.stack([y[:, 0], y[:, h - 1]], axis=1),
+            jnp.stack([y[:, :, 0], y[:, :, w - 1]], axis=2),
+        )
+
+    @pytest.mark.parametrize("shape", [(2, 8, 8, 16, 24), (3, 16, 12, 8, 8)])
+    def test_einsum_and_pallas_match_truth(self, shape):
+        from style_transfer_based_holographic_imaging_tpu.kernels.reflect_border import (
+            border_lines_einsum,
+            border_lines_pallas,
+        )
+
+        b, h, w, c, o = shape
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, c, o)) * 0.1, jnp.float32)
+        rows_t, cols_t = self._truth(x, k)
+        for fn in (border_lines_einsum, lambda x, k: border_lines_pallas(x, k, interpret=True)):
+            rows, cols = fn(x, k)
+            assert np.abs(np.asarray(rows - rows_t)).max() < 1e-4
+            assert np.abs(np.asarray(cols - cols_t)).max() < 1e-4
+
+    def test_gradients_match_einsum(self):
+        from style_transfer_based_holographic_imaging_tpu.kernels.reflect_border import (
+            border_lines_einsum,
+            border_lines_pallas,
+        )
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1, jnp.float32)
+
+        def loss(fn, x, k):
+            r, c = fn(x, k)
+            return jnp.sum(r**2) + 2.0 * jnp.sum(c**2)
+
+        gx, gk = jax.grad(lambda x, k: loss(
+            lambda a, b_: border_lines_pallas(a, b_, interpret=True), x, k
+        ), argnums=(0, 1))(x, k)
+        ex, ek = jax.grad(lambda x, k: loss(border_lines_einsum, x, k),
+                          argnums=(0, 1))(x, k)
+        assert np.abs(np.asarray(gx - ex)).max() < 1e-4
+        assert np.abs(np.asarray(gk - ek)).max() < 1e-4
+
+    def test_reflect_conv_module_uses_ring_correctly(self):
+        """ReflectConv fast path (einsum backend on CPU) == materialized pad."""
+        from style_transfer_based_holographic_imaging_tpu.models.layers import ReflectConv
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((2, 12, 12, 8)), jnp.float32)
+        fast = ReflectConv(features=8, fast=True)
+        slow = ReflectConv(features=8, fast=False)
+        p = fast.init(jax.random.key(0), x)
+        a = np.asarray(fast.apply(p, x))
+        b = np.asarray(slow.apply(p, x))
+        assert np.abs(a - b).max() < 1e-4
