@@ -156,8 +156,6 @@ def main():
     cases["stripconv2"] = jax.jit(lambda xd: dus_stripconv(conv(xd), *border_stripconv2(xd)))
     cases["stripconv-grouped"] = jax.jit(lambda xd: dus_grouped(conv(xd), border_stripconv_grouped(xd)))
 
-    import numpy as np_  # noqa: F401
-
     ref = np.asarray(cases["matpad reflect + VALID"](x), np.float32)
     for variant in ("full fast path", "stripconv2", "stripconv-grouped"):
         got = np.asarray(cases[variant](x), np.float32)
