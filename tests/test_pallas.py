@@ -168,7 +168,8 @@ class TestReflectBorderKernel:
         assert np.abs(np.asarray(gk - ek)).max() < 1e-4
 
     def test_reflect_conv_module_uses_ring_correctly(self):
-        """ReflectConv fast path (einsum backend on CPU) == materialized pad."""
+        """ReflectConv ring fix-up (einsum backend) == materialized pad."""
+        from style_transfer_based_holographic_imaging_tpu.models import layers
         from style_transfer_based_holographic_imaging_tpu.models.layers import ReflectConv
 
         rng = np.random.default_rng(3)
@@ -176,6 +177,10 @@ class TestReflectBorderKernel:
         fast = ReflectConv(features=8, fast=True)
         slow = ReflectConv(features=8, fast=False)
         p = fast.init(jax.random.key(0), x)
-        a = np.asarray(fast.apply(p, x))
+        layers.set_reflect_backend("einsum")
+        try:
+            a = np.asarray(fast.apply(p, x))
+        finally:
+            layers.set_reflect_backend("auto")
         b = np.asarray(slow.apply(p, x))
         assert np.abs(a - b).max() < 1e-4
