@@ -10,7 +10,6 @@ Usage: python scripts/exp_reflect_attr.py [--batch 256] [--size 32] [--chan 256]
 """
 
 import argparse
-import functools
 import os
 import sys
 import time

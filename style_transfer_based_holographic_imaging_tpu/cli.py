@@ -154,6 +154,9 @@ def cmd_eval(args):
 
         profile_cm = trace(args.profile)
         print(f"writing profiler trace to {args.profile}", file=sys.stderr)
+    if args.refine_distance and not args.refine:
+        print("warning: --refine-distance has no effect without --refine N",
+              file=sys.stderr)
     with profile_cm:
         metrics = evaluate_golden_suite(
             params,

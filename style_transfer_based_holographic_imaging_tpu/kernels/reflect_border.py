@@ -187,7 +187,13 @@ _border_lines_cvjp.defvjp(_cvjp_fwd, _cvjp_bwd)
 def border_lines_pallas(
     x: jax.Array, kernel: jax.Array, *, interpret: bool | None = None
 ) -> tuple[jax.Array, jax.Array]:
-    """Fused border-ring computation; same contract as border_lines_einsum."""
+    """Fused border-ring computation; same contract as border_lines_einsum.
+
+    Falls back to the einsum formulation for odd H (the bottom-rows BlockSpec
+    offset `s*(h//2 - 1)` only addresses rows H-2..H-1 when H is even).
+    """
+    if x.shape[1] % 2:
+        return border_lines_einsum(x, kernel)
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
     return _border_lines_cvjp(x, kernel, interpret)
@@ -203,8 +209,7 @@ def border_lines(
     """
     if backend == "einsum":
         return border_lines_einsum(x, kernel)
-    h, w = x.shape[1], x.shape[2]
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    if backend == "pallas" or (backend == "auto" and on_tpu and h % 2 == 0 and w % 2 == 0):
+    if backend == "pallas" or (backend == "auto" and on_tpu):
         return border_lines_pallas(x, kernel)
     return border_lines_einsum(x, kernel)

@@ -211,6 +211,10 @@ def evaluate_golden_suite(
                 refine_distance=refine_distance,
             )
             out = dict(out, ph_foc=refined["phase"])
+            if refine_distance:
+                # Report the distances the refined phase was actually
+                # optimized at, not the network's initial predictions.
+                out = dict(out, distance_pred=refined["distance"])
 
         gt_phase = _zero_mean(jnp.asarray(goldens.gt_phase[i]))
         ph_foc = _zero_mean(out["ph_foc"])

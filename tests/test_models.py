@@ -299,9 +299,12 @@ class TestFastReflectConv:
     """The SAME-conv + border-fix-up fast path must equal the materialized
     reflect-pad path exactly (same math, fp-order tolerance only)."""
 
-    def test_fast_equals_slow(self, rng):
+    @pytest.mark.parametrize("backend", ["einsum", "pallas"])
+    @pytest.mark.parametrize("shape", [(3, 17, 13, 5), (3, 16, 12, 5)])
+    def test_fast_equals_slow(self, rng, backend, shape):
         import flax.linen as nn
 
+        from style_transfer_based_holographic_imaging_tpu.models import layers
         from style_transfer_based_holographic_imaging_tpu.models.layers import (
             reflect_conv,
         )
@@ -313,19 +316,26 @@ class TestFastReflectConv:
             def __call__(self, x):
                 return reflect_conv(x, 8, "c", fast=self.fast)
 
-        x = jnp.asarray(rng.random((3, 17, 13, 5), np.float32))
+        x = jnp.asarray(rng.random(shape, np.float32))
         fast, slow = M(fast=True), M(fast=False)
         p = fast.init(jax.random.key(0), x)
+        layers.set_reflect_backend(backend)
+        try:
+            got = np.asarray(fast.apply(p, x))
+        finally:
+            layers.set_reflect_backend("auto")
         np.testing.assert_allclose(
-            np.asarray(fast.apply(p, x)),
+            got,
             np.asarray(slow.apply(p, x)),
             rtol=1e-5,
             atol=1e-5,
         )
 
-    def test_fast_gradients_match(self, rng):
+    @pytest.mark.parametrize("backend", ["einsum", "pallas"])
+    def test_fast_gradients_match(self, rng, backend):
         import flax.linen as nn
 
+        from style_transfer_based_holographic_imaging_tpu.models import layers
         from style_transfer_based_holographic_imaging_tpu.models.layers import (
             reflect_conv,
         )
@@ -337,9 +347,13 @@ class TestFastReflectConv:
             def __call__(self, x):
                 return jnp.sum(reflect_conv(x, 4, "c", fast=self.fast) ** 2)
 
-        x = jnp.asarray(rng.random((2, 9, 9, 3), np.float32))
+        x = jnp.asarray(rng.random((2, 8, 8, 3), np.float32))
         p = M(fast=True).init(jax.random.key(1), x)
-        g_fast = jax.grad(lambda p, x: M(fast=True).apply(p, x), argnums=(0, 1))(p, x)
+        layers.set_reflect_backend(backend)
+        try:
+            g_fast = jax.grad(lambda p, x: M(fast=True).apply(p, x), argnums=(0, 1))(p, x)
+        finally:
+            layers.set_reflect_backend("auto")
         g_slow = jax.grad(lambda p, x: M(fast=False).apply(p, x), argnums=(0, 1))(p, x)
         for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_slow)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
