@@ -162,38 +162,40 @@ class TestReleaseCheckpoint:
 FAST = os.path.join(REPO, "checkpoints", "fast")
 
 
-@pytest.mark.skipif(
-    not os.path.isdir(os.path.join(FAST, "release")),
-    reason="no fast-profile release minted",
-)
-class TestFastProfileRelease:
-    def test_meets_recorded_bar(self):
-        import orbax.checkpoint as ocp
+@pytest.mark.parametrize("tier", ["fast", "balanced"])
+def test_width_profile_release_meets_recorded_bar(tier):
+    """Width-profile release tiers (checkpoints/<tier>/) must keep meeting
+    their recorded golden bars — mirrors the flagship gate above."""
+    tier_dir = os.path.join(REPO, "checkpoints", tier)
+    if not os.path.isdir(os.path.join(tier_dir, "release")):
+        pytest.skip(f"no {tier}-profile release minted")
 
-        from style_transfer_based_holographic_imaging_tpu.config import (
-            ExperimentConfig,
-        )
-        from style_transfer_based_holographic_imaging_tpu.data import (
-            load_golden_suite,
-        )
-        from style_transfer_based_holographic_imaging_tpu.pipelines import (
-            evaluate_golden_suite,
-        )
+    import orbax.checkpoint as ocp
 
-        with open(os.path.join(FAST, "config.json")) as f:
-            cfg = ExperimentConfig.from_json(f.read())
-        assert cfg.model.width != 1.0  # the point of this release
-        restored = ocp.StandardCheckpointer().restore(
-            os.path.abspath(os.path.join(FAST, "release"))
-        )
-        sv = np.load(os.path.join(FAST, "style_vector.npz"))
-        metrics = evaluate_golden_suite(
-            restored["params"],
-            load_golden_suite(),
-            cfg,
-            style_override=(sv["mean"], sv["std"]),
-        )
-        with open(os.path.join(FAST, "golden_metrics.json")) as f:
-            recorded = json.load(f)
-        assert metrics["mean_psnr"] >= 0.95 * recorded["mean_psnr"]
-        assert metrics["r2"] >= min(0.95 * recorded["r2"], recorded["r2"])
+    from style_transfer_based_holographic_imaging_tpu.config import (
+        ExperimentConfig,
+    )
+    from style_transfer_based_holographic_imaging_tpu.data import (
+        load_golden_suite,
+    )
+    from style_transfer_based_holographic_imaging_tpu.pipelines import (
+        evaluate_golden_suite,
+    )
+
+    with open(os.path.join(tier_dir, "config.json")) as f:
+        cfg = ExperimentConfig.from_json(f.read())
+    assert cfg.model.width != 1.0  # the point of these releases
+    restored = ocp.StandardCheckpointer().restore(
+        os.path.abspath(os.path.join(tier_dir, "release"))
+    )
+    sv = np.load(os.path.join(tier_dir, "style_vector.npz"))
+    metrics = evaluate_golden_suite(
+        restored["params"],
+        load_golden_suite(),
+        cfg,
+        style_override=(sv["mean"], sv["std"]),
+    )
+    with open(os.path.join(tier_dir, "golden_metrics.json")) as f:
+        recorded = json.load(f)
+    assert metrics["mean_psnr"] >= 0.95 * recorded["mean_psnr"]
+    assert metrics["r2"] >= min(0.95 * recorded["r2"], recorded["r2"])
