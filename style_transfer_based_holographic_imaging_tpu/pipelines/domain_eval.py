@@ -43,6 +43,7 @@ def evaluate_synth_domain(
     n_batches: int = 8,
     seed: int = 7777,
     refine_steps: int = 0,
+    refine_distance: bool = False,
     dtype=None,
 ) -> Dict[str, Any]:
     """Score a domain checkpoint on freshly synthesized holograms.
@@ -97,8 +98,11 @@ def evaluate_synth_domain(
                 physics,
                 steps=refine_steps,
                 optimize_amp=False,
+                refine_distance=refine_distance,
             )
             out = dict(out, ph_foc=refined["phase"])
+            if refine_distance:
+                out = dict(out, distance_pred=refined["distance"])
 
         gt_phase = _zero_mean(batch["phase_content"])
         ph_foc = _zero_mean(out["ph_foc"])
