@@ -85,6 +85,15 @@ def test_evaluate_synth_domain(params):
     # distances come back in the domain's physical range (mm -> um)
     assert all(3000.0 <= d <= 9000.0 for d in m["distance_true_um"])
 
+    # refine_distance path: reported distances must be the refined ones
+    # (different from the random-init head's), still finite and in-range.
+    mr = evaluate_synth_domain(
+        params, cfg, bank, (sm, ss), n_batches=1,
+        refine_steps=5, refine_distance=True,
+    )
+    assert np.isfinite(mr["mean_psnr"])
+    assert mr["distance_pred_um"] != m["distance_pred_um"][: len(mr["distance_pred_um"])]
+
 
 def test_retrieval_deterministic(goldens, params):
     cfg = ExperimentConfig()
