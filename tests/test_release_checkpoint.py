@@ -162,7 +162,7 @@ class TestReleaseCheckpoint:
 FAST = os.path.join(REPO, "checkpoints", "fast")
 
 
-@pytest.mark.parametrize("tier", ["fast", "balanced"])
+@pytest.mark.parametrize("tier", ["fast", "balanced", "turbo"])
 def test_width_profile_release_meets_recorded_bar(tier):
     """Width-profile release tiers (checkpoints/<tier>/) must keep meeting
     their recorded golden bars — mirrors the flagship gate above."""
