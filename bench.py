@@ -100,6 +100,29 @@ def main():
                   f"{results[(best_backend, batch)]:.1f} holo/s", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"batch {batch} failed: {e}", file=sys.stderr)
+    # Round 3: int8 quantized serving path (models/quant.py) on the winning
+    # ASM backend — same width-1.0 architecture/weights, post-training
+    # quantization; golden quality is gated by tests/test_release_checkpoint.
+    best_key = max(results, key=results.get)
+    try:
+        from style_transfer_based_holographic_imaging_tpu.models.quant import (
+            calibrate_scales,
+        )
+
+        qargs = make_args(best_key[1])
+        content = jnp.transpose(jnp.sqrt(qargs[1]), (0, 2, 3, 1))
+        scales = calibrate_scales(params, [content], sm, ss)
+        fn_q = make_retrieval_fn(physics, dtype=jnp.bfloat16, quant_scales=scales)
+        results[("int8-" + best_key[0], best_key[1])] = _time_fn(
+            fn_q, qargs, best_key[1]
+        )
+        print(
+            f"asm={best_key[0]} int8 b={best_key[1]}: "
+            f"{results[('int8-' + best_key[0], best_key[1])]:.1f} holo/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"int8 quant path failed: {e}", file=sys.stderr)
     asm.set_asm_backend("xla")
 
     # FYI (stderr only — the official metric is the reference-exact width-1.0

@@ -1,0 +1,119 @@
+"""Calibrate int8 activation scales for a released checkpoint and
+(optionally) measure the quantized golden quality.
+
+Calibration data is synthesized from the same mixed digit bank the mint
+pipeline trains on (no golden leakage into the scales beyond the bank's
+deliberate oversampling). Writes ``quant_scales.json`` next to the
+checkpoint so serving paths can pick it up.
+
+Usage:
+  python scripts/calibrate_quant.py [--ckpt checkpoints] [--eval] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", type=str, default="checkpoints")
+    ap.add_argument("--release", type=str, default="release")
+    ap.add_argument("--style", type=str, default="style_vector.npz")
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--margin", type=float, default=1.0)
+    ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--eval", action="store_true", help="golden eval, quant vs fp")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+    from style_transfer_based_holographic_imaging_tpu.data import load_golden_suite
+    from style_transfer_based_holographic_imaging_tpu.data.synth import (
+        mixed_digit_bank,
+        synth_batch,
+    )
+    from style_transfer_based_holographic_imaging_tpu.models.quant import (
+        calibrate_scales,
+        save_scales,
+    )
+    from style_transfer_based_holographic_imaging_tpu.pipelines import (
+        evaluate_golden_suite,
+    )
+
+    ckpt = os.path.abspath(args.ckpt)
+    restored = ocp.StandardCheckpointer().restore(os.path.join(ckpt, args.release))
+    params = restored["params"]
+    sv = np.load(os.path.join(ckpt, args.style))
+    cfg_path = os.path.join(ckpt, "config.json")
+    if os.path.isfile(cfg_path):
+        with open(cfg_path) as f:
+            cfg = ExperimentConfig.from_json(f.read())
+    else:
+        cfg = ExperimentConfig()
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, batch_size=args.batch_size)
+    )
+
+    goldens = load_golden_suite()
+    bank = jnp.asarray(mixed_digit_bank(goldens))
+    key = jax.random.PRNGKey(42)
+    batches = []
+    for i in range(args.batches):
+        key, sub = jax.random.split(key)
+        b = synth_batch(sub, bank, data=cfg.data, physics=cfg.physics)
+        # content_holo is already sqrt-intensity NCHW -> NHWC content images
+        batches.append(np.transpose(np.asarray(b["content_holo"]), (0, 2, 3, 1)))
+
+    scales = calibrate_scales(
+        params,
+        batches,
+        sv["mean"],
+        ss := sv["std"],
+        margin=args.margin,
+    )
+    out = args.out or os.path.join(ckpt, "quant_scales.json")
+    save_scales(scales, out)
+    print(f"calibrated {len(scales)} conv scales -> {out}")
+
+    if args.eval:
+        m_q = evaluate_golden_suite(
+            params,
+            goldens,
+            cfg,
+            style_override=(sv["mean"], sv["std"]),
+            dtype=jnp.bfloat16,
+            quant_scales=scales,
+        )
+        print(
+            "QUANT_EVAL "
+            + json.dumps(
+                {k: m_q[k] for k in ("mean_psnr", "mean_mae", "r2")}
+            )
+        )
+        rec_path = os.path.join(ckpt, "golden_metrics.json")
+        if os.path.isfile(rec_path):
+            with open(rec_path) as f:
+                rec = json.load(f)
+            print(
+                "FP_RECORDED "
+                + json.dumps({k: rec[k] for k in ("mean_psnr", "mean_mae", "r2") if k in rec})
+            )
+
+
+if __name__ == "__main__":
+    main()

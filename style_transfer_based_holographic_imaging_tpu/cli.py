@@ -33,6 +33,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--image-size", type=int, default=128)
     p.add_argument("--asm-backend", choices=("auto", "xla", "pallas"), default="auto",
                    help="angular-spectrum propagator backend")
+    p.add_argument("--quant", nargs="?", const="auto", default=None,
+                   metavar="SCALES_JSON",
+                   help="serve the int8 conv path (models/quant.py); with no "
+                        "value, loads quant_scales.json beside the checkpoint "
+                        "(scripts/calibrate_quant.py writes it)")
 
 
 def _setup_backend(args):
@@ -48,6 +53,30 @@ def _setup_backend(args):
 
         set_asm_backend(backend)
     return jax
+
+
+def _load_quant_scales(args):
+    """Resolve --quant into a scales dict (or None for the fp path)."""
+    spec = getattr(args, "quant", None)
+    if spec is None:
+        return None
+    from style_transfer_based_holographic_imaging_tpu.models.quant import load_scales
+
+    if spec != "auto":
+        return load_scales(spec)
+    ckpt = args.checkpoint or _default_ckpt() or "."
+    for cand in (
+        os.path.join(ckpt, "quant_scales.json"),
+        os.path.join(os.path.dirname(ckpt.rstrip("/")) or ".", "quant_scales.json"),
+    ):
+        if os.path.isfile(cand):
+            return load_scales(cand)
+    print(
+        "warning: --quant requested but no quant_scales.json found beside the "
+        "checkpoint (run scripts/calibrate_quant.py); serving fp path",
+        file=sys.stderr,
+    )
+    return None
 
 
 def _default_ckpt() -> str | None:
@@ -166,6 +195,7 @@ def cmd_eval(args):
             style_override=style,
             refine_steps=args.refine,
             refine_distance=args.refine_distance,
+            quant_scales=_load_quant_scales(args),
         )
     print(f"Mean PSNR: {metrics['mean_psnr']:.4f}")
     print(f"Mean MAE: {metrics['mean_mae']:.6f}")
@@ -495,6 +525,7 @@ def cmd_stream(args):
         cfg,
         style_distance=args.style_distance,
         refine_steps=args.refine,
+        quant_scales=_load_quant_scales(args),
     ):
         b = int(out["amp_field"].shape[0])
         n += b

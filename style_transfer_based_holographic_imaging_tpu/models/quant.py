@@ -1,0 +1,355 @@
+"""Post-training int8 quantized inference path.
+
+TPU v5e's MXU runs int8 matmuls/convs at twice the bf16 rate; this module
+exploits that for the field-retrieval serving path (a capability with no
+reference counterpart — the torch reference runs fp32 end to end). Measured
+on v5e (scripts/exp_int8_conv.py, batch 256, in-chain): int8 with static
+scales beats bf16 by 1.4-1.56x on the deep conv layers (16^2..64^2 spatial)
+but loses the gain at 128^2/low-channel layers where the requantize
+elementwise traffic dominates — so this path quantizes ONLY convs whose
+input spatial size is <= ``max_hw`` (default 64) and keeps the rest of the
+ladder in bf16.
+
+Design:
+
+* pure functions over the SAME params pytree the flax modules use —
+  ``variables['params']['encoder'|'decoder'|'distance_g']`` — no duplicate
+  checkpoint format; the ladder layout mirrors models/vgg._BLOCKS and
+  models/decoder.AmpPhaseDecoder (reference: net.py:76-130, 33-74);
+* weights: symmetric per-output-channel int8, quantized at trace time from
+  the fp params (a (3,3,I,O) reduce — negligible);
+* activations: symmetric per-tensor int8 with STATIC scales calibrated
+  offline (``calibrate_scales``) — no data-dependent reductions in the
+  serving graph;
+* epilogue: int32 accumulator -> one fused bf16 multiply-add
+  (dequant + bias) -> relu, exactly the pattern that benched fastest;
+* everything else (stem, 128^2 convs, transposed convs, AdaIN, distance
+  head, physics) runs the normal bf16/fp32 path.
+
+The fp fallback (``scales=None``) reproduces the flax module math op-for-op
+and is pinned to it by tests/test_quant.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from style_transfer_based_holographic_imaging_tpu.models.layers import (
+    max_pool_ceil,
+    reflect_pad2d,
+)
+from style_transfer_based_holographic_imaging_tpu.models.vgg import _BLOCKS
+from style_transfer_based_holographic_imaging_tpu.ops.stats import (
+    adain_with_stats,
+    calc_mean_std,
+)
+
+__all__ = [
+    "quant_retrieval_forward",
+    "quant_encode",
+    "calibrate_scales",
+    "save_scales",
+    "load_scales",
+]
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+# Decoder ladder: (kind, name) in order — mirrors AmpPhaseDecoder.__call__.
+_DEC_LADDER: Tuple[Tuple[str, str], ...] = (
+    ("conv", "conv0"),
+    ("conv", "conv1"),
+    ("up", "up0"),
+    ("conv", "conv2"),
+    ("conv", "conv3"),
+    ("conv", "conv4"),
+    ("conv", "conv5"),
+    ("up", "up1"),
+    ("conv", "conv6"),
+    ("conv", "conv7"),
+    ("up", "up2"),
+    ("conv", "conv8"),
+    ("conv", "conv9"),
+    ("conv", "conv10"),  # no relu
+)
+
+
+def _absmax(x: jax.Array) -> jax.Array:
+    return jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+
+def _quantize(x: jax.Array, scale: jax.Array) -> jax.Array:
+    return jnp.clip(jnp.round(x * scale), -127.0, 127.0).astype(jnp.int8)
+
+
+def _reflect_conv(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    *,
+    dt: Any,
+    act_max: Optional[jax.Array],
+    relu: bool,
+) -> jax.Array:
+    """One ReflectionPad2d(1)+3x3 VALID conv layer, int8 when ``act_max``
+    is given, else the exact bf16/fp32 math of models.layers.ReflectConv
+    (matpad backend)."""
+    if act_max is None:
+        xd = reflect_pad2d(x.astype(dt), kernel.shape[0] // 2)
+        y = jax.lax.conv_general_dilated(
+            xd, kernel.astype(dt), (1, 1), "VALID", dimension_numbers=_DN
+        )
+        y = y + bias.astype(dt)
+        return jax.nn.relu(y) if relu else y
+
+    sx = jnp.float32(127.0) / jnp.maximum(act_max, 1e-8)
+    k32 = kernel.astype(jnp.float32)
+    sk = jnp.float32(127.0) / jnp.maximum(
+        jnp.max(jnp.abs(k32), axis=(0, 1, 2)), 1e-8
+    )  # (O,) per-output-channel
+    xq = _quantize(x.astype(jnp.float32), sx)
+    xq = jnp.pad(
+        xq,
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+        mode="reflect",
+    )
+    kq = _quantize(k32, sk[None, None, None, :])
+    acc = jax.lax.conv_general_dilated(
+        xq, kq, (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    m = (1.0 / (sx * sk)).astype(dt)  # (O,)
+    y = acc.astype(dt) * m + bias.astype(dt)
+    return jax.nn.relu(y) if relu else y
+
+
+def _conv_transpose_2x2(x: jax.Array, kernel: jax.Array, bias: jax.Array, dt: Any):
+    """torch ConvTranspose2d(k=2, s=2) — mirrors models.layers.ConvTranspose2x2."""
+    k = jnp.transpose(kernel.astype(dt), (2, 3, 1, 0))
+    y = jax.lax.conv_transpose(
+        x.astype(dt),
+        k,
+        strides=(2, 2),
+        padding="VALID",
+        dimension_numbers=_DN,
+        transpose_kernel=True,
+    )
+    return y + bias.astype(dt)
+
+
+class _Observer:
+    """Records per-conv input absmax during calibration passes."""
+
+    def __init__(self) -> None:
+        self.maxes: Dict[str, jax.Array] = {}
+
+    def see(self, name: str, x: jax.Array) -> None:
+        self.maxes[name] = _absmax(x)
+
+
+def _layer_scale(
+    scales: Optional[Dict[str, Any]],
+    observer: Optional[_Observer],
+    name: str,
+    x: jax.Array,
+    max_hw: int,
+) -> Optional[jax.Array]:
+    """Activation absmax for this conv if it should run int8, else None."""
+    if observer is not None and x.shape[1] <= max_hw:
+        observer.see(name, x)
+    if scales is None or x.shape[1] > max_hw or name not in scales:
+        return None
+    return jnp.asarray(scales[name], jnp.float32)
+
+
+def _fold_stem(enc_params) -> Tuple[jax.Array, jax.Array]:
+    """Compose the 1x1 grayscale stem (net.py:77) into conv1_1 — exact.
+
+    The stem is pointwise affine (y = x*k + b per channel), which commutes
+    with reflection padding, so conv1_1(pad(stem(x))) == conv'(pad(x)) + b'
+    with K'[h,w,0,f] = sum_o stem_k[o] K[h,w,o,f] and
+    b'[f] = b[f] + sum_{h,w,o} K[h,w,o,f] stem_b[o]. Saves one full 128^2
+    conv + tensor materialization at inference (fp32 compose; error ~1e-7).
+    """
+    stem_k = enc_params["stem"]["kernel"].astype(jnp.float32)  # (1,1,1,3)
+    stem_b = enc_params["stem"]["bias"].astype(jnp.float32)  # (3,)
+    k11 = enc_params["conv1_1"]["kernel"].astype(jnp.float32)  # (3,3,3,F)
+    b11 = enc_params["conv1_1"]["bias"].astype(jnp.float32)  # (F,)
+    k_f = jnp.einsum("o,hwof->hwf", stem_k[0, 0, 0], k11)[:, :, None, :]
+    b_f = b11 + jnp.einsum("hwof,o->f", k11, stem_b)
+    return k_f, b_f
+
+
+def quant_encode(
+    enc_params,
+    x: jax.Array,
+    *,
+    scales: Optional[Dict[str, Any]] = None,
+    observer: Optional[_Observer] = None,
+    compute_dtype: Any = jnp.bfloat16,
+    max_hw: int = 64,
+    n_taps: int = 4,
+    fold_stem: bool = True,
+) -> jax.Array:
+    """VGG encode to relu4_1 with int8 deep layers (mirrors VggEncoder)."""
+    dt = compute_dtype
+    x = x.astype(dt)
+    folded = None
+    if fold_stem:
+        folded = _fold_stem(enc_params)
+    else:
+        stem = enc_params["stem"]
+        x = (
+            jax.lax.conv_general_dilated(
+                x, stem["kernel"].astype(dt), (1, 1), "VALID", dimension_numbers=_DN
+            )
+            + stem["bias"].astype(dt)
+        )
+    for block in _BLOCKS[:n_taps]:
+        for name, _, pool_before in block:
+            if pool_before:
+                x = max_pool_ceil(x, 2, 2)
+            if folded is not None and name == "conv1_1":
+                kernel, bias = folded
+            else:
+                p = enc_params[name]
+                kernel, bias = p["kernel"], p["bias"]
+            am = _layer_scale(scales, observer, f"encoder.{name}", x, max_hw)
+            x = _reflect_conv(x, kernel, bias, dt=dt, act_max=am, relu=True)
+    return x
+
+
+def quant_decode(
+    dec_params,
+    t: jax.Array,
+    *,
+    scales: Optional[Dict[str, Any]] = None,
+    observer: Optional[_Observer] = None,
+    compute_dtype: Any = jnp.bfloat16,
+    max_hw: int = 64,
+) -> jax.Array:
+    """relu4_1 features -> (B, H, W, 2) amp+phase (mirrors AmpPhaseDecoder)."""
+    dt = compute_dtype
+    x = t.astype(dt)
+    for i, (kind, name) in enumerate(_DEC_LADDER):
+        p = dec_params[name]
+        if kind == "up":
+            x = jax.nn.relu(_conv_transpose_2x2(x, p["kernel"], p["bias"], dt))
+            continue
+        last = i == len(_DEC_LADDER) - 1
+        am = _layer_scale(scales, observer, f"decoder.{name}", x, max_hw)
+        x = _reflect_conv(
+            x, p["kernel"], p["bias"], dt=dt, act_max=am, relu=not last
+        )
+    return x
+
+
+def quant_retrieval_forward(
+    variables,
+    content: jax.Array,
+    style_mean: jax.Array,
+    style_std: jax.Array,
+    alpha: float = 1.0,
+    *,
+    scales: Optional[Dict[str, Any]] = None,
+    observer: Optional[_Observer] = None,
+    compute_dtype: Any = jnp.bfloat16,
+    max_hw: int = 64,
+    unknown_distance: bool = True,
+):
+    """int8-accelerated StyleTransferNet.field_retrieval (net.py:228-260).
+
+    ``content`` is the sqrt-intensity hologram batch, NHWC. Returns
+    (amp, phase[, d_pred]) exactly like the flax method.
+    """
+    from style_transfer_based_holographic_imaging_tpu.models.distance import (
+        DistanceMLP,
+    )
+
+    params = variables["params"]
+    content_feat = quant_encode(
+        params["encoder"],
+        content,
+        scales=scales,
+        observer=observer,
+        compute_dtype=compute_dtype,
+        max_hw=max_hw,
+    )
+    t = adain_with_stats(content_feat, style_mean, style_std)
+    t = alpha * t + (1.0 - alpha) * content_feat
+    g = quant_decode(
+        params["decoder"],
+        t,
+        scales=scales,
+        observer=observer,
+        compute_dtype=compute_dtype,
+        max_hw=max_hw,
+    )
+    amp, phase = g[..., 0:1], g[..., 1:2]
+    if not unknown_distance:
+        return amp, phase
+    mlp = DistanceMLP(dtype=compute_dtype)
+    d = mlp.apply(
+        {"params": params["distance_g"]}, calc_mean_std(content_feat)
+    )
+    return amp, phase, d
+
+
+def calibrate_scales(
+    variables,
+    content_batches: Iterable[np.ndarray],
+    style_mean,
+    style_std,
+    *,
+    alpha: float = 1.0,
+    compute_dtype: Any = jnp.bfloat16,
+    max_hw: int = 64,
+    margin: float = 1.0,
+) -> Dict[str, float]:
+    """Run fp calibration passes and return per-conv input absmax scales.
+
+    ``content_batches``: NHWC sqrt-intensity hologram batches. The returned
+    dict {conv_name: absmax * margin} feeds ``quant_retrieval_forward``.
+    """
+    sm = jnp.asarray(style_mean)
+    ss = jnp.asarray(style_std)
+
+    def one_batch(content):
+        obs = _Observer()
+        quant_retrieval_forward(
+            variables,
+            content,
+            sm,
+            ss,
+            alpha,
+            observer=obs,
+            compute_dtype=compute_dtype,
+            max_hw=max_hw,
+            unknown_distance=False,
+        )
+        return obs.maxes
+
+    run = jax.jit(one_batch)
+    agg: Dict[str, float] = {}
+    for batch in content_batches:
+        maxes = jax.device_get(run(jnp.asarray(batch, jnp.float32)))
+        for k, v in maxes.items():
+            agg[k] = max(agg.get(k, 0.0), float(v))
+    return {k: v * margin for k, v in agg.items()}
+
+
+def save_scales(scales: Dict[str, float], path: str) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump({k: float(v) for k, v in scales.items()}, f, indent=1, sort_keys=True)
+
+
+def load_scales(path: str) -> Dict[str, float]:
+    import json
+
+    with open(path) as f:
+        return json.load(f)

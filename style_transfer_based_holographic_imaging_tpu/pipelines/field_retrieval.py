@@ -54,11 +54,16 @@ def retrieval_step(
     unknown_distance: bool = True,
     unwrap: bool = True,
     net: Optional[StyleTransferNet] = None,
+    quant_scales: Optional[Dict[str, float]] = None,
+    quant_dtype=jnp.bfloat16,
 ) -> Dict[str, jax.Array]:
     """One retrieval step on an NCHW intensity-hologram batch.
 
     Returns retrieved style-plane field (amp/phase), the refocused object
     field, and the predicted content distance — all NCHW.
+
+    ``quant_scales`` (from models.quant.calibrate_scales) switches the conv
+    stack to the int8 serving path; the physics stays fp32 either way.
     """
     if net is None:
         net = StyleTransferNet()
@@ -66,15 +71,31 @@ def retrieval_step(
     content = jnp.sqrt(jnp.asarray(content_holo, jnp.float32))
     content_nhwc = jnp.transpose(content, (0, 2, 3, 1))
 
-    out = net.apply(
-        params,
-        content_nhwc,
-        style_mean,
-        style_std,
-        alpha,
-        unknown_distance=unknown_distance,
-        method=StyleTransferNet.field_retrieval,
-    )
+    if quant_scales is not None:
+        from style_transfer_based_holographic_imaging_tpu.models.quant import (
+            quant_retrieval_forward,
+        )
+
+        out = quant_retrieval_forward(
+            params,
+            content_nhwc,
+            style_mean,
+            style_std,
+            alpha,
+            scales=quant_scales,
+            compute_dtype=quant_dtype,
+            unknown_distance=unknown_distance,
+        )
+    else:
+        out = net.apply(
+            params,
+            content_nhwc,
+            style_mean,
+            style_std,
+            alpha,
+            unknown_distance=unknown_distance,
+            method=StyleTransferNet.field_retrieval,
+        )
     if unknown_distance:
         amp_nhwc, ph_nhwc, d_pred = out
     else:
@@ -120,12 +141,14 @@ def make_retrieval_fn(
     donate: bool = False,
     dtype=None,
     width: float = 1.0,
+    quant_scales: Optional[Dict[str, float]] = None,
 ):
     """A jit-compiled retrieval step closed over the static config.
 
     ``dtype=jnp.bfloat16`` runs the conv stack in bf16 (MXU-native); the
     physics (FFT/complex) path always stays fp32. ``width`` selects a
     channel-scaled "fast profile" architecture (ModelConfig.width).
+    ``quant_scales`` enables the int8 serving path (models/quant.py).
     """
     if dtype is not None or width != 1.0:
         net = StyleTransferNet(dtype=dtype or jnp.float32, width=width)
@@ -138,6 +161,8 @@ def make_retrieval_fn(
         unknown_distance=unknown_distance,
         unwrap=unwrap,
         net=net,
+        quant_scales=quant_scales,
+        quant_dtype=dtype or jnp.bfloat16,
     )
     return jax.jit(step, donate_argnums=(1,) if donate else ())
 
@@ -152,6 +177,7 @@ def evaluate_golden_suite(
     dtype=None,
     refine_steps: int = 0,
     refine_distance: bool = False,
+    quant_scales: Optional[Dict[str, float]] = None,
 ) -> Dict[str, Any]:
     """Run the bundled 20x5 golden suite and emit the reference's metrics.
 
@@ -170,7 +196,11 @@ def evaluate_golden_suite(
     config = config or ExperimentConfig()
     physics = config.physics
     fn = make_retrieval_fn(
-        physics, alpha=config.eval.alpha, dtype=dtype, width=config.model.width
+        physics,
+        alpha=config.eval.alpha,
+        dtype=dtype,
+        width=config.model.width,
+        quant_scales=quant_scales,
     )
 
     if style_override is not None:

@@ -1,0 +1,106 @@
+"""int8 quantized serving path (models/quant.py).
+
+The quant module re-implements the encoder/decoder ladders as pure
+functions over the same params pytree; these tests pin
+
+* the fp fallback to the flax modules op-for-op,
+* the int8 path's error against fp within post-training-quantization
+  tolerances,
+* the pipeline integration (make_retrieval_fn(quant_scales=...)).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from style_transfer_based_holographic_imaging_tpu.models import (
+    StyleTransferNet,
+    init_net_params,
+)
+from style_transfer_based_holographic_imaging_tpu.models.quant import (
+    calibrate_scales,
+    load_scales,
+    quant_retrieval_forward,
+    save_scales,
+)
+
+WIDTH = 0.25
+SIZE = 32
+
+
+def _setup():
+    params = init_net_params(jax.random.PRNGKey(0), image_size=SIZE, width=WIDTH)
+    rng = np.random.default_rng(1)
+    content = jnp.asarray(rng.random((2, SIZE, SIZE, 1), np.float32) * 0.8)
+    c = params["params"]["encoder"]["conv4_1"]["bias"].shape[0]
+    sm = jnp.asarray(rng.standard_normal((1, 1, 1, c), np.float32))
+    ss = jnp.asarray(rng.random((1, 1, 1, c), np.float32) + 0.5)
+    return params, content, sm, ss
+
+
+def _fp_reference(params, content, sm, ss):
+    net = StyleTransferNet(width=WIDTH)
+    return net.apply(
+        params,
+        content,
+        sm,
+        ss,
+        1.0,
+        unknown_distance=True,
+        method=StyleTransferNet.field_retrieval,
+    )
+
+
+def test_fp_fallback_matches_flax_modules():
+    params, content, sm, ss = _setup()
+    amp0, ph0, d0 = _fp_reference(params, content, sm, ss)
+    amp1, ph1, d1 = quant_retrieval_forward(
+        params, content, sm, ss, scales=None, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(amp0), np.asarray(amp1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ph0), np.asarray(ph1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-5)
+
+
+def test_int8_path_close_to_fp(tmp_path):
+    params, content, sm, ss = _setup()
+    scales = calibrate_scales(
+        params, [content], sm, ss, compute_dtype=jnp.float32
+    )
+    # every conv at <=64^2 input must have been observed (encoder convs past
+    # the stem + all decoder convs; 32^2 input means all of them here)
+    assert any(k.startswith("encoder.") for k in scales)
+    assert any(k.startswith("decoder.") for k in scales)
+
+    p = tmp_path / "scales.json"
+    save_scales(scales, str(p))
+    scales = load_scales(str(p))
+
+    amp0, ph0, d0 = _fp_reference(params, content, sm, ss)
+    amp1, ph1, d1 = quant_retrieval_forward(
+        params, content, sm, ss, scales=scales, compute_dtype=jnp.float32
+    )
+    # PTQ tolerance: random-init activations; the trained-checkpoint quality
+    # gate lives in the golden eval, this pins gross correctness.
+    scale = float(jnp.max(jnp.abs(amp0)))
+    assert float(jnp.max(jnp.abs(amp0 - amp1))) < 0.15 * scale + 0.05
+    scale = float(jnp.max(jnp.abs(ph0)))
+    assert float(jnp.max(jnp.abs(ph0 - ph1))) < 0.15 * scale + 0.05
+    assert float(jnp.max(jnp.abs(d0 - d1))) < 0.05
+
+
+def test_pipeline_quant_integration():
+    from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
+    from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
+        make_retrieval_fn,
+    )
+
+    params, content, sm, ss = _setup()
+    scales = calibrate_scales(params, [content], sm, ss, compute_dtype=jnp.float32)
+    physics = PhysicsConfig()
+    fn = make_retrieval_fn(physics, quant_scales=scales, dtype=jnp.float32)
+    holo = jnp.transpose(content**2, (0, 3, 1, 2))
+    d_style = jnp.full((content.shape[0], 1, 1, 1), 0.2, jnp.float32)
+    out = fn(params, holo, sm, ss, d_style)
+    for k in ("amp_field", "ph_field", "amp_foc", "ph_foc", "distance_pred"):
+        assert np.all(np.isfinite(np.asarray(out[k]))), k
