@@ -54,9 +54,39 @@ __all__ = [
     "calibrate_scales",
     "save_scales",
     "load_scales",
+    "set_fused_stacks",
 ]
 
 _DN = ("NHWC", "HWIO", "NHWC")
+
+# Fused Pallas head/tail conv stacks (kernels/conv_stack.py). OFF by
+# default: measured on v5e b=256 they do NOT beat the XLA composition
+# (tail 17.2 vs 16.6 ms, head 14.8 vs 9.1 — the in-kernel VMEM copies for
+# reflection padding and K-concatenation replace the HBM round-trips they
+# save; see docs/PERFORMANCE.md). Kept as an opt-in experiment ("on") and
+# exercised by tests; "auto" currently equals "off". Trace-time setting
+# like layers.set_reflect_backend: rebuild jitted fns after changing.
+_FUSED_STACKS = "off"
+
+
+def set_fused_stacks(mode: str) -> None:
+    global _FUSED_STACKS
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"unknown fused-stack mode {mode!r}")
+    _FUSED_STACKS = mode
+
+
+def _use_fused(x: jax.Array, observer) -> bool:
+    if _FUSED_STACKS != "on" or observer is not None:
+        return False
+    if x.shape[1] < 4 or x.shape[1] % 2 or x.shape[2] < 4 or x.shape[2] % 2:
+        return False
+    # Per-grid-step VMEM footprint: the image + padded copy + fp32
+    # accumulator must fit the raised 100 MB limit (conv_stack.py); bail to
+    # the XLA path for large fields of view.
+    if x.shape[1] * x.shape[2] * max(x.shape[3], 64) * 12 > 64 * 1024 * 1024:
+        return False
+    return True
 
 # Decoder ladder: (kind, name) in order — mirrors AmpPhaseDecoder.__call__.
 _DEC_LADDER: Tuple[Tuple[str, str], ...] = (
@@ -208,9 +238,29 @@ def quant_encode(
             )
             + stem["bias"].astype(dt)
         )
+    fused_head = _use_fused(x, observer) and n_taps >= 2
+    if fused_head:
+        from style_transfer_based_holographic_imaging_tpu.kernels.conv_stack import (
+            fused_encoder_head,
+        )
+
+        if folded is not None:
+            k1, b1 = folded
+        else:
+            p = enc_params["conv1_1"]
+            k1, b1 = p["kernel"], p["bias"]
+        p2 = enc_params["conv1_2"]
+        # conv1_1 -> relu -> conv1_2 -> relu -> 2x2 pool, one VMEM-resident
+        # kernel; the pool belongs to conv2_1's pool_before (net.py:84).
+        x = fused_encoder_head(
+            x, k1.astype(dt), b1, p2["kernel"].astype(dt), p2["bias"]
+        )
+
     for block in _BLOCKS[:n_taps]:
         for name, _, pool_before in block:
-            if pool_before:
+            if fused_head and name in ("conv1_1", "conv1_2"):
+                continue
+            if pool_before and not (fused_head and name == "conv2_1"):
                 x = max_pool_ceil(x, 2, 2)
             if folded is not None and name == "conv1_1":
                 kernel, bias = folded
@@ -239,6 +289,22 @@ def quant_decode(
         if kind == "up":
             x = jax.nn.relu(_conv_transpose_2x2(x, p["kernel"], p["bias"], dt))
             continue
+        if name == "conv8" and _use_fused(x, observer):
+            from style_transfer_based_holographic_imaging_tpu.kernels.conv_stack import (
+                fused_conv_tail,
+            )
+
+            p9 = dec_params["conv9"]
+            p10 = dec_params["conv10"]
+            return fused_conv_tail(
+                x,
+                p["kernel"].astype(dt),
+                p["bias"],
+                p9["kernel"].astype(dt),
+                p9["bias"],
+                p10["kernel"].astype(dt),
+                p10["bias"],
+            )
         last = i == len(_DEC_LADDER) - 1
         am = _layer_scale(scales, observer, f"decoder.{name}", x, max_hw)
         x = _reflect_conv(
