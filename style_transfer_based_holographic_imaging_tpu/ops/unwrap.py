@@ -20,14 +20,32 @@ reference implementation lives in ``native/`` for host-side golden checks.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["wrap_phase", "unwrap_phase"]
+__all__ = ["wrap_phase", "unwrap_phase", "set_dct_backend"]
 
 _TWO_PI = 2.0 * math.pi
+
+# DCT backend: "fft" (jax.scipy.fft.dctn — lowers to FFTs), "matmul"
+# (orthonormal DCT-II matrix applied on the MXU), or "auto" (matmul up to
+# 512 points per axis, fft beyond). On TPU the matmul form wins for the
+# 128^2 fields this pipeline unwraps, for the same reason the Pallas
+# DFT-matmul ASM backend beats XLA's fft2 (kernels/asm_pallas.py): small
+# power-of-two FFTs underutilize the MXU. Trace-time setting like
+# ops.asm.set_asm_backend: rebuild jitted fns after switching.
+_DCT_BACKEND = "auto"
+
+
+def set_dct_backend(backend: str) -> None:
+    global _DCT_BACKEND
+    if backend not in ("auto", "fft", "matmul"):
+        raise ValueError(f"unknown dct backend {backend!r}")
+    _DCT_BACKEND = backend
 
 
 def wrap_phase(x: jax.Array) -> jax.Array:
@@ -35,12 +53,43 @@ def wrap_phase(x: jax.Array) -> jax.Array:
     return jnp.mod(x + math.pi, _TWO_PI) - math.pi
 
 
+@functools.lru_cache(maxsize=8)
+def _dct_mat(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix: (D @ x) == dct(x, type=2, norm='ortho')."""
+    k = np.arange(n)[:, None]
+    m = np.cos(np.pi * (2.0 * np.arange(n)[None, :] + 1.0) * k / (2.0 * n))
+    m *= np.sqrt(2.0 / n)
+    m[0] *= np.sqrt(0.5)
+    return m.astype(np.float32)
+
+
+def _use_matmul(h: int, w: int) -> bool:
+    if _DCT_BACKEND == "auto":
+        return max(h, w) <= 512
+    return _DCT_BACKEND == "matmul"
+
+
 def _dct2(x: jax.Array) -> jax.Array:
-    return jax.scipy.fft.dctn(x, type=2, axes=(-2, -1), norm="ortho")
+    h, w = x.shape[-2], x.shape[-1]
+    if not _use_matmul(h, w):
+        return jax.scipy.fft.dctn(x, type=2, axes=(-2, -1), norm="ortho")
+    dh = jnp.asarray(_dct_mat(h))
+    dw = jnp.asarray(_dct_mat(w))
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("kh,...hw->...kw", dh, x, precision=hi)
+    return jnp.einsum("...kw,lw->...kl", y, dw, precision=hi)
 
 
 def _idct2(x: jax.Array) -> jax.Array:
-    return jax.scipy.fft.idctn(x, type=2, axes=(-2, -1), norm="ortho")
+    h, w = x.shape[-2], x.shape[-1]
+    if not _use_matmul(h, w):
+        return jax.scipy.fft.idctn(x, type=2, axes=(-2, -1), norm="ortho")
+    # Orthonormal -> inverse is the transpose.
+    dh = jnp.asarray(_dct_mat(h))
+    dw = jnp.asarray(_dct_mat(w))
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("hk,...hw->...kw", dh, x, precision=hi)
+    return jnp.einsum("...kw,wl->...kl", y, dw, precision=hi)
 
 
 def unwrap_phase(phase: jax.Array, *, congruent: bool = True) -> jax.Array:

@@ -104,3 +104,41 @@ class TestNativeUnwrap:
         assert out.shape == x.shape
         k = (out - x) / (2 * np.pi)
         np.testing.assert_allclose(k, np.round(k), atol=1e-4)
+
+
+class TestDctBackends:
+    """The matmul DCT (MXU path) must match the FFT-lowered scipy DCT."""
+
+    def test_dct_matmul_matches_fft(self, rng):
+        from style_transfer_based_holographic_imaging_tpu.ops import unwrap as U
+
+        x = jnp.asarray(rng.standard_normal((3, 96, 128)), jnp.float32)
+        try:
+            U.set_dct_backend("fft")
+            a = U._dct2(x)
+            ai = U._idct2(a)
+            U.set_dct_backend("matmul")
+            b = U._dct2(x)
+            bi = U._idct2(b)
+        finally:
+            U.set_dct_backend("auto")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(ai), np.asarray(bi), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(bi), np.asarray(x), atol=2e-4)
+
+    def test_unwrap_same_result_both_backends(self, rng):
+        from style_transfer_based_holographic_imaging_tpu.ops import unwrap as U
+
+        base = jnp.asarray(rng.standard_normal((2, 64, 64)), jnp.float32)
+        smooth = jax.scipy.signal.convolve2d(
+            base[0], jnp.ones((9, 9)) / 81.0, mode="same"
+        )[None] * 12.0
+        wrapped = U.wrap_phase(smooth)
+        try:
+            U.set_dct_backend("fft")
+            a = U.unwrap_phase(wrapped)
+            U.set_dct_backend("matmul")
+            b = U.unwrap_phase(wrapped)
+        finally:
+            U.set_dct_backend("auto")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
