@@ -4,11 +4,18 @@ TPU v5e's MXU runs int8 matmuls/convs at twice the bf16 rate; this module
 exploits that for the field-retrieval serving path (a capability with no
 reference counterpart — the torch reference runs fp32 end to end). Measured
 on v5e (scripts/exp_int8_conv.py, batch 256, in-chain): int8 with static
-scales beats bf16 by 1.4-1.56x on the deep conv layers (16^2..64^2 spatial)
-but loses the gain at 128^2/low-channel layers where the requantize
-elementwise traffic dominates — so this path quantizes ONLY convs whose
-input spatial size is <= ``max_hw`` (default 64) and keeps the rest of the
-ladder in bf16.
+scales beats bf16 by 1.4-1.56x on the deep conv layers (16^2..64^2
+spatial); convs whose input spatial size exceeds ``max_hw`` keep bf16.
+
+Update (measured, scripts/exp_packed_conv.py + exp_quant_e2e.py): the
+"128^2 is breakeven" finding above was a plumbing artifact — the e2e
+harness calibrated the full-resolution convs but the serving path's
+``max_hw`` stayed 64, so they silently ran bf16.  Chained int8 convs at
+128^2 (requantize fused between convs) win ~2.5x over the bf16 chain
+(decoder tail 6.4 vs 16.1 ms at b=256).  The serving-side gate is now the
+scales dict itself: a conv runs int8 iff its name was calibrated
+(``max_hw`` here defaults to 128 = everything; scale files calibrated
+with max_hw=64 reproduce the old deep-layers-only behavior exactly).
 
 Design:
 
@@ -23,8 +30,8 @@ Design:
   serving graph;
 * epilogue: int32 accumulator -> one fused bf16 multiply-add
   (dequant + bias) -> relu, exactly the pattern that benched fastest;
-* everything else (stem, 128^2 convs, transposed convs, AdaIN, distance
-  head, physics) runs the normal bf16/fp32 path.
+* everything else (stem, transposed convs, AdaIN, distance head, physics)
+  runs the normal bf16/fp32 path.
 
 The fp fallback (``scales=None``) reproduces the flax module math op-for-op
 and is pinned to it by tests/test_quant.py.
@@ -157,7 +164,13 @@ def _reflect_conv(
 
 
 def _conv_transpose_2x2(x: jax.Array, kernel: jax.Array, bias: jax.Array, dt: Any):
-    """torch ConvTranspose2d(k=2, s=2) — mirrors models.layers.ConvTranspose2x2."""
+    """torch ConvTranspose2d(k=2, s=2) — mirrors models.layers.ConvTranspose2x2.
+
+    Stays bf16 deliberately: an int8 variant (the packed-matmul form of
+    kernels/packed_conv.packed_deconv + fused dequant + depth-to-space) was
+    measured e2e SLOWER (32.5 vs 30.2 ms at b=256) — the depth-to-space
+    copy plus the input quantize pass cost more than the small GEMM saves.
+    """
     k = jnp.transpose(kernel.astype(dt), (2, 3, 1, 0))
     y = jax.lax.conv_transpose(
         x.astype(dt),
@@ -220,7 +233,7 @@ def quant_encode(
     scales: Optional[Dict[str, Any]] = None,
     observer: Optional[_Observer] = None,
     compute_dtype: Any = jnp.bfloat16,
-    max_hw: int = 64,
+    max_hw: int = 128,
     n_taps: int = 4,
     fold_stem: bool = True,
 ) -> jax.Array:
@@ -279,7 +292,7 @@ def quant_decode(
     scales: Optional[Dict[str, Any]] = None,
     observer: Optional[_Observer] = None,
     compute_dtype: Any = jnp.bfloat16,
-    max_hw: int = 64,
+    max_hw: int = 128,
 ) -> jax.Array:
     """relu4_1 features -> (B, H, W, 2) amp+phase (mirrors AmpPhaseDecoder)."""
     dt = compute_dtype
@@ -323,7 +336,7 @@ def quant_retrieval_forward(
     scales: Optional[Dict[str, Any]] = None,
     observer: Optional[_Observer] = None,
     compute_dtype: Any = jnp.bfloat16,
-    max_hw: int = 64,
+    max_hw: int = 128,
     unknown_distance: bool = True,
 ):
     """int8-accelerated StyleTransferNet.field_retrieval (net.py:228-260).
@@ -372,7 +385,7 @@ def calibrate_scales(
     *,
     alpha: float = 1.0,
     compute_dtype: Any = jnp.bfloat16,
-    max_hw: int = 64,
+    max_hw: int = 128,
     margin: float = 1.0,
 ) -> Dict[str, float]:
     """Run fp calibration passes and return per-conv input absmax scales.
