@@ -1,16 +1,19 @@
-"""Calibrate int8 activation scales for a released checkpoint and
+"""Calibrate int8 activation scales for released checkpoints and
 (optionally) measure the quantized golden quality.
 
 Calibration data is synthesized from the same mixed digit bank the mint
 pipeline trains on (no golden leakage into the scales beyond the bank's
-deliberate oversampling). Writes ``quant_scales.json`` next to the
-checkpoint so serving paths can pick it up.
+deliberate oversampling). Writes ``quant_scales.json`` (+
+``quant_golden_metrics.json`` with --eval) beside each checkpoint so
+serving paths can pick it up.
 
 Usage:
   python scripts/calibrate_quant.py [--ckpt checkpoints] [--eval] [--cpu]
+  python scripts/calibrate_quant.py --tiers turbo,balanced,fast --eval
 """
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -18,9 +21,94 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run_one(ckpt, args, goldens):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+    from style_transfer_based_holographic_imaging_tpu.data.synth import (
+        mixed_digit_bank,
+        synth_batch,
+    )
+    from style_transfer_based_holographic_imaging_tpu.models.quant import (
+        calibrate_scales,
+        save_scales,
+    )
+    from style_transfer_based_holographic_imaging_tpu.pipelines import (
+        evaluate_golden_suite,
+    )
+
+    ckpt = os.path.abspath(ckpt)
+    variables = ocp.StandardCheckpointer().restore(
+        os.path.join(ckpt, args.release)
+    )["params"]
+    sv = np.load(os.path.join(ckpt, args.style))
+    cfg_path = os.path.join(ckpt, "config.json")
+    if os.path.isfile(cfg_path):
+        with open(cfg_path) as f:
+            cfg = ExperimentConfig.from_json(f.read())
+    else:
+        cfg = ExperimentConfig()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, batch_size=args.batch_size)
+    )
+
+    bank = jnp.asarray(mixed_digit_bank(goldens))
+    key = jax.random.PRNGKey(42)
+    batches = []
+    for _ in range(args.batches):
+        key, sub = jax.random.split(key)
+        b = synth_batch(sub, bank, data=cfg.data, physics=cfg.physics)
+        # content_holo is already sqrt-intensity NCHW -> NHWC content images
+        batches.append(np.transpose(np.asarray(b["content_holo"]), (0, 2, 3, 1)))
+
+    scales = calibrate_scales(
+        variables, batches, sv["mean"], sv["std"], margin=args.margin
+    )
+    out = args.out or os.path.join(ckpt, "quant_scales.json")
+    save_scales(scales, out)
+    print(f"[{ckpt}] calibrated {len(scales)} conv scales -> {out}")
+
+    if args.eval:
+        m_q = evaluate_golden_suite(
+            variables,
+            goldens,
+            cfg,
+            style_override=(sv["mean"], sv["std"]),
+            dtype=jnp.bfloat16,
+            quant_scales=scales,
+        )
+        keys = ("mean_psnr", "mean_mae", "r2")
+        print(f"[{ckpt}] QUANT_EVAL " + json.dumps({k: m_q[k] for k in keys}))
+        rec_path = os.path.join(ckpt, "golden_metrics.json")
+        rec = {}
+        if os.path.isfile(rec_path):
+            with open(rec_path) as f:
+                rec = json.load(f)
+            print(
+                f"[{ckpt}] FP_RECORDED "
+                + json.dumps({k: rec[k] for k in keys if k in rec})
+            )
+        with open(os.path.join(ckpt, "quant_golden_metrics.json"), "w") as f:
+            json.dump(
+                {
+                    **{k: m_q[k] for k in keys},
+                    "fp_reference": {k: rec[k] for k in keys if k in rec},
+                    "note": "int8 serving path (models/quant.py), "
+                    "scales=quant_scales.json, bf16 glue",
+                },
+                f,
+                indent=1,
+            )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", type=str, default="checkpoints")
+    ap.add_argument("--tiers", type=str, default=None,
+                    help="comma list of subdirs of checkpoints/ to process")
     ap.add_argument("--release", type=str, default="release")
     ap.add_argument("--style", type=str, default="style_vector.npz")
     ap.add_argument("--batches", type=int, default=8)
@@ -35,84 +123,15 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
-    import numpy as np
-    import orbax.checkpoint as ocp
 
-    from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
     from style_transfer_based_holographic_imaging_tpu.data import load_golden_suite
-    from style_transfer_based_holographic_imaging_tpu.data.synth import (
-        mixed_digit_bank,
-        synth_batch,
-    )
-    from style_transfer_based_holographic_imaging_tpu.models.quant import (
-        calibrate_scales,
-        save_scales,
-    )
-    from style_transfer_based_holographic_imaging_tpu.pipelines import (
-        evaluate_golden_suite,
-    )
-
-    ckpt = os.path.abspath(args.ckpt)
-    restored = ocp.StandardCheckpointer().restore(os.path.join(ckpt, args.release))
-    params = restored["params"]
-    sv = np.load(os.path.join(ckpt, args.style))
-    cfg_path = os.path.join(ckpt, "config.json")
-    if os.path.isfile(cfg_path):
-        with open(cfg_path) as f:
-            cfg = ExperimentConfig.from_json(f.read())
-    else:
-        cfg = ExperimentConfig()
-    import dataclasses
-
-    cfg = dataclasses.replace(
-        cfg, data=dataclasses.replace(cfg.data, batch_size=args.batch_size)
-    )
 
     goldens = load_golden_suite()
-    bank = jnp.asarray(mixed_digit_bank(goldens))
-    key = jax.random.PRNGKey(42)
-    batches = []
-    for i in range(args.batches):
-        key, sub = jax.random.split(key)
-        b = synth_batch(sub, bank, data=cfg.data, physics=cfg.physics)
-        # content_holo is already sqrt-intensity NCHW -> NHWC content images
-        batches.append(np.transpose(np.asarray(b["content_holo"]), (0, 2, 3, 1)))
-
-    scales = calibrate_scales(
-        params,
-        batches,
-        sv["mean"],
-        ss := sv["std"],
-        margin=args.margin,
-    )
-    out = args.out or os.path.join(ckpt, "quant_scales.json")
-    save_scales(scales, out)
-    print(f"calibrated {len(scales)} conv scales -> {out}")
-
-    if args.eval:
-        m_q = evaluate_golden_suite(
-            params,
-            goldens,
-            cfg,
-            style_override=(sv["mean"], sv["std"]),
-            dtype=jnp.bfloat16,
-            quant_scales=scales,
-        )
-        print(
-            "QUANT_EVAL "
-            + json.dumps(
-                {k: m_q[k] for k in ("mean_psnr", "mean_mae", "r2")}
-            )
-        )
-        rec_path = os.path.join(ckpt, "golden_metrics.json")
-        if os.path.isfile(rec_path):
-            with open(rec_path) as f:
-                rec = json.load(f)
-            print(
-                "FP_RECORDED "
-                + json.dumps({k: rec[k] for k in ("mean_psnr", "mean_mae", "r2") if k in rec})
-            )
+    if args.tiers:
+        for tier in args.tiers.split(","):
+            run_one(os.path.join("checkpoints", tier), args, goldens)
+    else:
+        run_one(args.ckpt, args, goldens)
 
 
 if __name__ == "__main__":
