@@ -162,7 +162,7 @@ class TestReleaseCheckpoint:
 FAST = os.path.join(REPO, "checkpoints", "fast")
 
 
-@pytest.mark.parametrize("tier", ["fast", "balanced", "turbo"])
+@pytest.mark.parametrize("tier", ["fast", "balanced", "turbo", "ultra"])
 def test_width_profile_release_meets_recorded_bar(tier):
     """Width-profile release tiers (checkpoints/<tier>/) must keep meeting
     their recorded golden bars — mirrors the flagship gate above."""
@@ -199,3 +199,51 @@ def test_width_profile_release_meets_recorded_bar(tier):
         recorded = json.load(f)
     assert metrics["mean_psnr"] >= 0.95 * recorded["mean_psnr"]
     assert metrics["r2"] >= min(0.95 * recorded["r2"], recorded["r2"])
+
+
+@pytest.mark.skipif(
+    not (os.path.isdir(RELEASE) and os.path.isfile(STYLE)),
+    reason="no release checkpoint minted",
+)
+def test_quant_release_meets_recorded_bar():
+    """The int8 serving path (quant_scales.json beside the release) must stay
+    within 2 dB of its recorded golden quality on a train+heldout subset —
+    catches bad recalibrations and int8-path regressions without paying a
+    full (slow on CPU) quantized suite eval."""
+    scales_path = os.path.join(REPO, "checkpoints", "quant_scales.json")
+    rec_path = os.path.join(REPO, "checkpoints", "quant_golden_metrics.json")
+    if not (os.path.isfile(scales_path) and os.path.isfile(rec_path)):
+        pytest.skip("no quant calibration recorded")
+
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+    from style_transfer_based_holographic_imaging_tpu.data import load_golden_suite
+    from style_transfer_based_holographic_imaging_tpu.models.quant import load_scales
+    from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
+        make_retrieval_fn,
+    )
+
+    params = ocp.StandardCheckpointer().restore(os.path.abspath(RELEASE))["params"]
+    sv = np.load(STYLE)
+    g = load_golden_suite()
+    cfg = ExperimentConfig()
+    fn = make_retrieval_fn(
+        cfg.physics, dtype=jnp.bfloat16, quant_scales=load_scales(scales_path)
+    )
+
+    def zm(x):
+        return x - x.mean(axis=(1, 2, 3), keepdims=True)
+
+    psnrs = []
+    for i in (0, 10):  # one train-split batch, one held-out batch
+        holo = jnp.asarray(g.content_holo[i])
+        out = fn(params, holo, jnp.asarray(sv["mean"]), jnp.asarray(sv["std"]),
+                 jnp.asarray(g.distance_style[i]))
+        gt = zm(jnp.asarray(g.gt_phase[i]))
+        ph = zm(out["ph_foc"])
+        psnrs.append(float(10 * np.log10(1.0 / float(np.mean(np.asarray(ph - gt, np.float64) ** 2)))))
+    with open(rec_path) as f:
+        recorded = json.load(f)
+    assert np.mean(psnrs) >= recorded["mean_psnr"] - 2.0, (psnrs, recorded["mean_psnr"])
