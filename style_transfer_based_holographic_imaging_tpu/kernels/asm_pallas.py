@@ -67,12 +67,32 @@ def _edge_pad(x: jax.Array, ph: int, pw: int) -> jax.Array:
     return jnp.concatenate([left, x, right], axis=1)
 
 
-def _cmm(are, aim, bre, bim):
+# MXU precision for the DFT matmuls. "highest" = 6-pass bf16 (full fp32
+# emulation); "high" = 3-pass bf16 — half the MXU work. The setting is a
+# trace-time global threaded into the kernel as a static arg (so switching
+# it rebuilds the compiled kernel). Parity/speed trade measured by
+# scripts/exp_asm_precision.py before any default change.
+_DFT_PRECISION = "highest"
+_PRECISION_TABLE = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+}
+
+
+def set_dft_precision(precision: str) -> None:
+    """'highest' (fp32, default) or 'high' (bf16x3)."""
+    global _DFT_PRECISION
+    if precision not in _PRECISION_TABLE:
+        raise ValueError(f"unknown dft precision {precision!r}")
+    _DFT_PRECISION = precision
+
+
+def _cmm(are, aim, bre, bim, precision_name="highest"):
     """Complex matmul (are + i*aim) @ (bre + i*bim) as 4 fp32 MXU matmuls."""
     dot = functools.partial(
         jnp.dot,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISION_TABLE[precision_name],
     )
     return (
         dot(are, bre) - dot(aim, bim),
@@ -80,7 +100,7 @@ def _cmm(are, aim, bre, bim):
     )
 
 
-def _make_kernel(h: int, w: int, pad: bool, g_coef: float):
+def _make_kernel(h: int, w: int, pad: bool, g_coef: float, precision_name: str):
     ph = h // 2 if pad else 0
     pw = w // 2 if pad else 0
     fh, fw = h + 2 * ph, w + 2 * pw
@@ -102,8 +122,8 @@ def _make_kernel(h: int, w: int, pad: bool, g_coef: float):
 
         # fft2: S = F_h @ X @ F_w  (DFT matrices are symmetric, so the
         # column transform is a plain right-multiply).
-        s1re, s1im = _cmm(fhre, fhim, xre, xim)
-        sre, sim = _cmm(s1re, s1im, fwre, fwim)
+        s1re, s1im = _cmm(fhre, fhim, xre, xim, precision_name)
+        sre, sim = _cmm(s1re, s1im, fwre, fwim, precision_name)
 
         # Transfer function H = exp(i * d * kz_rel) on the VPU.
         phase = d * kz_ref[:]
@@ -113,8 +133,8 @@ def _make_kernel(h: int, w: int, pad: bool, g_coef: float):
         tim = sre * s + sim * c
 
         # ifft2: (1/N) * conj(F_h) @ T @ conj(F_w).
-        u1re, u1im = _cmm(fhre, -fhim, tre, tim)
-        ure, uim = _cmm(u1re, u1im, fwre, -fwim)
+        u1re, u1im = _cmm(fhre, -fhim, tre, tim, precision_name)
+        ure, uim = _cmm(u1re, u1im, fwre, -fwim, precision_name)
 
         # Global per-sample phasor exp(i * d * 2*pi/lambda) + 1/N scale
         # (see ops/asm.py precision note), fused with the crop write-out.
@@ -132,10 +152,10 @@ def _make_kernel(h: int, w: int, pad: bool, g_coef: float):
     return kernel, fh, fw
 
 
-@functools.partial(jax.jit, static_argnames=("wavelength", "pixel_size", "pad", "interpret"))
-def _propagate_pallas_impl(xre, xim, dist, *, wavelength, pixel_size, pad, interpret):
+@functools.partial(jax.jit, static_argnames=("wavelength", "pixel_size", "pad", "interpret", "precision_name"))
+def _propagate_pallas_impl(xre, xim, dist, *, wavelength, pixel_size, pad, interpret, precision_name):
     b, h, w = xre.shape
-    kernel, fh, fw = _make_kernel(h, w, pad, 2.0 * math.pi / wavelength)
+    kernel, fh, fw = _make_kernel(h, w, pad, 2.0 * math.pi / wavelength, precision_name)
 
     fhre, fhim = (jnp.asarray(m) for m in _dft_matrix(fh))
     fwre, fwim = ((fhre, fhim) if fw == fh else tuple(jnp.asarray(m) for m in _dft_matrix(fw)))
@@ -169,24 +189,25 @@ def _propagate_pallas_impl(xre, xim, dist, *, wavelength, pixel_size, pad, inter
     return yre, yim
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _propagate_cvjp(field, distance, wavelength, pixel_size, pad, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _propagate_cvjp(field, distance, wavelength, pixel_size, pad, interpret, precision_name):
     b = field.shape[0]
     xre = jnp.real(field).astype(jnp.float32)
     xim = jnp.imag(field).astype(jnp.float32)
     yre, yim = _propagate_pallas_impl(
         xre, xim, distance.reshape(b, 1),
         wavelength=wavelength, pixel_size=pixel_size, pad=pad, interpret=interpret,
+        precision_name=precision_name,
     )
     return jax.lax.complex(yre, yim)
 
 
-def _cvjp_fwd(field, distance, wavelength, pixel_size, pad, interpret):
-    out = _propagate_cvjp(field, distance, wavelength, pixel_size, pad, interpret)
+def _cvjp_fwd(field, distance, wavelength, pixel_size, pad, interpret, precision_name):
+    out = _propagate_cvjp(field, distance, wavelength, pixel_size, pad, interpret, precision_name)
     return out, (field, distance)
 
 
-def _cvjp_bwd(wavelength, pixel_size, pad, interpret, res, w_ct):
+def _cvjp_bwd(wavelength, pixel_size, pad, interpret, precision_name, res, w_ct):
     field, distance = res
     _, vjp = jax.vjp(
         lambda f, d: _asm._propagate_xla(
@@ -235,5 +256,5 @@ def propagate_pallas(
         jnp.asarray(distance, jnp.float32), lead + (1, 1)
     ).reshape(b, 1, 1)
 
-    out = _propagate_cvjp(flat, dist, wavelength, pixel_size, pad, interpret)
+    out = _propagate_cvjp(flat, dist, wavelength, pixel_size, pad, interpret, _DFT_PRECISION)
     return out.reshape(field.shape)
