@@ -120,6 +120,34 @@ def main():
             f" ({b/t_e2e*1e3:7.0f} holo/s)",
             flush=True,
         )
+    # --- unwrap DCT precision (ops.unwrap.set_dct_precision) ---------------
+    # Congruent unwrap snaps to exact 2*pi multiples of the input, so "high"
+    # should agree bit-for-bit unless a rounding boundary flips; measure the
+    # disagreement fraction and the e2e time with both knobs at "high".
+    from style_transfer_based_holographic_imaging_tpu.ops import unwrap
+
+    yy = jnp.linspace(-1.0, 1.0, 128)
+    smooth = 9.0 * jnp.exp(-(yy[:, None] ** 2 + yy[None, :] ** 2) * 3.0)
+    smooth = smooth[None, None] * jnp.asarray(
+        rng.random((b, 1, 1, 1), np.float32) + 0.5
+    )
+    wrapped = unwrap.wrap_phase(smooth)
+
+    unwrap.set_dct_precision("highest")
+    ref_u = jax.jit(unwrap.unwrap_phase)(wrapped)
+    unwrap.set_dct_precision("high")
+    hi_u = jax.jit(unwrap.unwrap_phase)(wrapped)
+    frac = float(jax.device_get(jnp.mean((jnp.abs(ref_u - hi_u) > 1e-3).astype(jnp.float32))))
+    asm_pallas.set_dft_precision("high")
+    fn = make_retrieval_fn(physics, dtype=jnp.bfloat16, quant_scales=scales)
+    t_both = timeit(fn, variables, holo, sm, ss, ds)
+    print(
+        f"dct=high: unwrap disagree frac {frac:.2e} | e2e asm+dct high "
+        f"{t_both:6.2f} ms ({b/t_both*1e3:7.0f} holo/s)",
+        flush=True,
+    )
+
+    unwrap.set_dct_precision("highest")
     asm_pallas.set_dft_precision("highest")
     asm.set_asm_backend("xla")
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["wrap_phase", "unwrap_phase", "set_dct_backend"]
+__all__ = ["wrap_phase", "unwrap_phase", "set_dct_backend", "set_dct_precision"]
 
 _TWO_PI = 2.0 * math.pi
 
@@ -46,6 +46,22 @@ def set_dct_backend(backend: str) -> None:
     if backend not in ("auto", "fft", "matmul"):
         raise ValueError(f"unknown dct backend {backend!r}")
     _DCT_BACKEND = backend
+
+
+# MXU precision of the DCT matmuls: "highest" (6-pass bf16 = full fp32,
+# default) or "high" (3-pass bf16). With ``congruent=True`` the solve is
+# snapped to exact 2*pi multiples of the input, so sub-0.5-cycle solver
+# error is absorbed entirely — "high" is a serving-path candidate. Trace-time
+# setting; rebuild jitted fns after switching.
+_DCT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_dct_precision(precision: str) -> None:
+    global _DCT_PRECISION
+    table = {"highest": jax.lax.Precision.HIGHEST, "high": jax.lax.Precision.HIGH}
+    if precision not in table:
+        raise ValueError(f"unknown dct precision {precision!r}")
+    _DCT_PRECISION = table[precision]
 
 
 def wrap_phase(x: jax.Array) -> jax.Array:
@@ -75,7 +91,7 @@ def _dct2(x: jax.Array) -> jax.Array:
         return jax.scipy.fft.dctn(x, type=2, axes=(-2, -1), norm="ortho")
     dh = jnp.asarray(_dct_mat(h))
     dw = jnp.asarray(_dct_mat(w))
-    hi = jax.lax.Precision.HIGHEST
+    hi = _DCT_PRECISION
     y = jnp.einsum("kh,...hw->...kw", dh, x, precision=hi)
     return jnp.einsum("...kw,lw->...kl", y, dw, precision=hi)
 
@@ -87,7 +103,7 @@ def _idct2(x: jax.Array) -> jax.Array:
     # Orthonormal -> inverse is the transpose.
     dh = jnp.asarray(_dct_mat(h))
     dw = jnp.asarray(_dct_mat(w))
-    hi = jax.lax.Precision.HIGHEST
+    hi = _DCT_PRECISION
     y = jnp.einsum("hk,...hw->...kw", dh, x, precision=hi)
     return jnp.einsum("...kw,wl->...kl", y, dw, precision=hi)
 
