@@ -2,6 +2,7 @@
 smooth phase surfaces exactly (up to a constant) and stay batched/jittable."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -142,3 +143,29 @@ class TestDctBackends:
         finally:
             U.set_dct_backend("auto")
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+    def test_dct_precision_knob(self, rng):
+        """set_dct_precision('high') must keep the congruent unwrap identical
+        (snapped to exact 2*pi multiples) and reject unknown values. On CPU
+        both precisions lower identically — this pins the knob's plumbing and
+        the congruence invariant; the numeric trade is measured on TPU by
+        scripts/exp_asm_precision.py."""
+        from style_transfer_based_holographic_imaging_tpu.ops import unwrap as U
+
+        base = jnp.asarray(rng.standard_normal((2, 64, 64)), jnp.float32)
+        smooth = jax.scipy.signal.convolve2d(
+            base[0], jnp.ones((9, 9)) / 81.0, mode="same"
+        )[None] * 12.0
+        wrapped = U.wrap_phase(smooth)
+        try:
+            U.set_dct_precision("high")
+            hi = U.unwrap_phase(wrapped)
+        finally:
+            U.set_dct_precision("highest")
+        ref = U.unwrap_phase(wrapped)
+        np.testing.assert_allclose(np.asarray(hi), np.asarray(ref), atol=1e-5)
+        # congruence: output differs from input by exact 2*pi multiples
+        k = np.asarray(hi - wrapped) / (2.0 * np.pi)
+        np.testing.assert_allclose(k, np.round(k), atol=1e-4)
+        with pytest.raises(ValueError):
+            U.set_dct_precision("bogus")
