@@ -38,6 +38,7 @@ __all__ = [
     "convert_vgg_state_dict",
     "convert_decoder_state_dict",
     "convert_distance_state_dict",
+    "load_reference_checkpoint",
     "load_style_vector",
     "save_style_vector_pt",
 ]
@@ -181,6 +182,40 @@ def convert_distance_state_dict(
             "bias": state[f"{name}.bias"].astype(np.float32),
         }
     return params
+
+
+def load_reference_checkpoint(
+    vgg: str, decoder: str, distance: str, *, image_size: int = 128
+):
+    """One-call migration path: the reference's three torch artifacts
+    (test_field_retrieval_mnist.py:70-88) -> a complete variables tree for
+    ``StyleTransferNet`` / ``pipelines.field_retrieval.retrieval_step``.
+
+    Starts from a fresh ``init_net_params`` tree (so any parameter the torch
+    files do not cover — e.g. deeper encoder taps than the file was truncated
+    to — keeps its initialization) and overwrites every converted leaf.
+    """
+    import jax
+
+    from style_transfer_based_holographic_imaging_tpu.models import init_net_params
+
+    variables = jax.device_get(
+        init_net_params(jax.random.key(0), image_size=image_size)
+    )
+    converted = {
+        "encoder": convert_vgg_state_dict(load_torch_tensor(vgg)),
+        "decoder": convert_decoder_state_dict(load_torch_tensor(decoder)),
+        "distance_g": convert_distance_state_dict(load_torch_tensor(distance)),
+    }
+    for module, tree in converted.items():
+        for layer, leaves in tree.items():
+            dst = variables["params"][module][layer]
+            for k, v in leaves.items():
+                assert dst[k].shape == v.shape, (
+                    f"{module}/{layer}/{k}: torch {v.shape} != model {dst[k].shape}"
+                )
+                dst[k] = v
+    return variables
 
 
 def load_style_vector(path: str) -> Tuple[np.ndarray, np.ndarray]:

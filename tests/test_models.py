@@ -295,6 +295,64 @@ class TestStyleVectorInterop:
         assert np.all(std >= 0)
 
 
+class TestLoadReferenceCheckpoint:
+    def test_one_call_migration(self, rng, tmp_path):
+        """load_reference_checkpoint composes the three converters into a
+        variables tree that drives the full retrieval pipeline (the
+        documented migration path, docs/MIGRATION.md)."""
+        from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
+        from style_transfer_based_holographic_imaging_tpu.interop.torch_weights import (
+            load_reference_checkpoint,
+        )
+        from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
+            retrieval_step,
+        )
+
+        # Reference-layout artifacts: RGB-stem VGG (vgg_normalised.pth has a
+        # 3-channel stem collapsed at load, test_field_retrieval_mnist.py:87),
+        # decoder and distance state dicts keyed by Sequential indices.
+        tv = build_torch_vgg()
+        sd = tv.state_dict()
+        sd["0.weight"] = torch.randn(3, 3, 1, 1)
+        vgg_p = str(tmp_path / "vgg_normalised.pth")
+        torch.save(sd, vgg_p)
+        dec_p = str(tmp_path / "decoder_iter_80000.pth.tar")
+        torch.save(build_torch_decoder().state_dict(), dec_p)
+        dist_p = str(tmp_path / "distance_g_iter_80000.pth.tar")
+        torch.save(build_torch_distance().state_dict(), dist_p)
+
+        variables = load_reference_checkpoint(vgg_p, dec_p, dist_p)
+        got = variables["params"]["encoder"]["stem"]["kernel"]
+        want = convert_vgg_state_dict(torch_to_numpy(sd))["stem"]["kernel"]
+        np.testing.assert_array_equal(got, want)
+        assert got.shape == (1, 1, 1, 3)  # RGB stem collapsed to grayscale
+
+        holo = jnp.asarray(rng.random((2, 1, 32, 32)).astype(np.float32) * 0.6)
+        sm = jnp.asarray(rng.random((1, 1, 1, 512)).astype(np.float32))
+        ss = jnp.asarray((rng.random((1, 1, 1, 512)) + 0.5).astype(np.float32))
+        ds = jnp.full((2, 1, 1, 1), 0.2, jnp.float32)
+        out = retrieval_step(variables, holo, sm, ss, ds, physics=PhysicsConfig())
+        assert out["amp_foc"].shape == (2, 1, 32, 32)
+        assert np.all(np.isfinite(np.asarray(out["distance_pred"])))
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        from style_transfer_based_holographic_imaging_tpu.interop.torch_weights import (
+            load_reference_checkpoint,
+        )
+
+        tv = build_torch_vgg()
+        sd = tv.state_dict()
+        sd["2.weight"] = torch.randn(64, 64, 3, 3)  # conv1_1 expects in=3
+        vgg_p = str(tmp_path / "vgg.pth")
+        torch.save(sd, vgg_p)
+        dec_p = str(tmp_path / "dec.pth.tar")
+        torch.save(build_torch_decoder().state_dict(), dec_p)
+        dist_p = str(tmp_path / "dist.pth.tar")
+        torch.save(build_torch_distance().state_dict(), dist_p)
+        with pytest.raises(AssertionError, match="conv1_1"):
+            load_reference_checkpoint(vgg_p, dec_p, dist_p)
+
+
 class TestFastReflectConv:
     """The SAME-conv + border-fix-up fast path must equal the materialized
     reflect-pad path exactly (same math, fp-order tolerance only)."""
