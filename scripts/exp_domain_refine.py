@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--domain", required=True,
                     choices=["polystyrene", "red_blood_cell"])
     ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--lr", type=float, default=0.05)
+    ap.add_argument("--tv", type=float, default=5e-3)
     ap.add_argument("--refine-distance", action="store_true")
     ap.add_argument("--eval-batches", type=int, default=10)
     ap.add_argument("--record", action="store_true",
@@ -79,9 +81,12 @@ def main():
         n_batches=args.eval_batches,
         refine_steps=args.steps,
         refine_distance=args.refine_distance,
+        refine_lr=args.lr,
+        refine_tv_weight=args.tv,
     )
     row = {k: m[k] for k in ("mean_psnr", "mean_mae", "r2")}
-    row.update(steps=args.steps, refine_distance=args.refine_distance)
+    row.update(steps=args.steps, refine_distance=args.refine_distance,
+               lr=args.lr, tv=args.tv)
     print(f"{tag} refined: " + json.dumps(row), flush=True)
 
     if args.record:

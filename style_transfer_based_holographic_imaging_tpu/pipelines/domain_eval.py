@@ -44,6 +44,8 @@ def evaluate_synth_domain(
     seed: int = 7777,
     refine_steps: int = 0,
     refine_distance: bool = False,
+    refine_lr: float = 0.05,
+    refine_tv_weight: float = 5e-3,
     dtype=None,
 ) -> Dict[str, Any]:
     """Score a domain checkpoint on freshly synthesized holograms.
@@ -97,6 +99,8 @@ def evaluate_synth_domain(
                 batch["content_holo"],
                 physics,
                 steps=refine_steps,
+                lr=refine_lr,
+                tv_weight=refine_tv_weight,
                 optimize_amp=False,
                 refine_distance=refine_distance,
             )
