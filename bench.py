@@ -47,6 +47,18 @@ def _time_fn(fn, args, batch, n_iters=20, reps=3):
 
 
 def main():
+    from style_transfer_based_holographic_imaging_tpu.utils.transport import (
+        wait_for_tpu,
+    )
+
+    if not wait_for_tpu(900.0):
+        print(json.dumps({
+            "metric": "MNIST field-retrieval throughput",
+            "value": 0.0, "unit": "holograms/sec/chip", "vs_baseline": 0.0,
+            "error": "remote TPU transport unavailable (relay down/wedged)",
+        }))
+        return
+
     import jax
     import jax.numpy as jnp
 
