@@ -47,6 +47,7 @@ def evaluate_synth_domain(
     refine_lr: float = 0.05,
     refine_tv_weight: float = 5e-3,
     dtype=None,
+    quant_scales=None,
 ) -> Dict[str, Any]:
     """Score a domain checkpoint on freshly synthesized holograms.
 
@@ -58,7 +59,11 @@ def evaluate_synth_domain(
     """
     physics = config.physics
     fn = make_retrieval_fn(
-        physics, alpha=config.eval.alpha, dtype=dtype, width=config.model.width
+        physics,
+        alpha=config.eval.alpha,
+        dtype=dtype,
+        width=config.model.width,
+        quant_scales=quant_scales,
     )
     sm, ss = (jnp.asarray(style[0]), jnp.asarray(style[1]))
     bank_j = jnp.asarray(bank, jnp.float32)
