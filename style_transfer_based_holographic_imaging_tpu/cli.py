@@ -65,10 +65,14 @@ def _load_quant_scales(args):
     if spec != "auto":
         return load_scales(spec)
     ckpt = args.checkpoint or _default_ckpt() or "."
-    for cand in (
-        os.path.join(ckpt, "quant_scales.json"),
-        os.path.join(os.path.dirname(ckpt.rstrip("/")) or ".", "quant_scales.json"),
-    ):
+    parent = os.path.dirname(ckpt.rstrip("/")) or "."
+    base = os.path.basename(ckpt.rstrip("/"))
+    cands = [os.path.join(ckpt, "quant_scales.json")]
+    if base.endswith("_release"):
+        # domain releases live as siblings: rbc_release -> rbc_quant_scales.json
+        cands.append(os.path.join(parent, base[: -len("_release")] + "_quant_scales.json"))
+    cands.append(os.path.join(parent, "quant_scales.json"))
+    for cand in cands:
         if os.path.isfile(cand):
             return load_scales(cand)
     print(

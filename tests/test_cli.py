@@ -114,3 +114,41 @@ class TestAutofocusCommand:
     def test_autofocus_requires_input(self, capsys):
         rc = main(["autofocus", "--cpu"])
         assert rc == 1
+
+
+class TestQuantScaleResolution:
+    def test_domain_release_finds_sibling_scales(self, tmp_path):
+        """checkpoints/rbc_release + --quant must resolve the sibling
+        rbc_quant_scales.json, NOT the parent's flagship quant_scales.json."""
+        import json
+        import types
+
+        from style_transfer_based_holographic_imaging_tpu.cli import (
+            _load_quant_scales,
+        )
+
+        parent = tmp_path / "checkpoints"
+        (parent / "rbc_release").mkdir(parents=True)
+        json.dump({"conv1_1": 1.5}, open(parent / "rbc_quant_scales.json", "w"))
+        json.dump({"conv1_1": 9.9}, open(parent / "quant_scales.json", "w"))
+        args = types.SimpleNamespace(
+            quant="auto", checkpoint=str(parent / "rbc_release")
+        )
+        scales = _load_quant_scales(args)
+        assert scales == {"conv1_1": 1.5}
+
+    def test_plain_release_uses_parent(self, tmp_path):
+        import json
+        import types
+
+        from style_transfer_based_holographic_imaging_tpu.cli import (
+            _load_quant_scales,
+        )
+
+        parent = tmp_path / "checkpoints"
+        (parent / "release").mkdir(parents=True)
+        json.dump({"conv1_1": 2.5}, open(parent / "quant_scales.json", "w"))
+        args = types.SimpleNamespace(
+            quant="auto", checkpoint=str(parent / "release")
+        )
+        assert _load_quant_scales(args) == {"conv1_1": 2.5}
