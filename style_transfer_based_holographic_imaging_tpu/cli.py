@@ -475,6 +475,45 @@ def cmd_sweep(args):
     return 0
 
 
+def cmd_serve(args):
+    """Long-lived retrieval server (pipelines/server.py): weights + ONE
+    compiled fixed-shape program resident, npz requests over HTTP."""
+    _setup_backend(args)
+    import jax.numpy as jnp
+
+    from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+    from style_transfer_based_holographic_imaging_tpu.pipelines.server import (
+        RetrievalService,
+        serve_forever,
+    )
+
+    params = _load_params(args)
+    style = _load_style(args)
+    if style is None:
+        print("no style vector found — required for serving", file=sys.stderr)
+        return 1
+    cfg = _load_config(args) or ExperimentConfig()
+
+    service = RetrievalService(
+        params,
+        style,
+        cfg,
+        batch_size=args.batch_size,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+        quant_scales=_load_quant_scales(args),
+        refine_steps=args.refine,
+    )
+    print("compiling retrieval program ...", file=sys.stderr)
+    service.warmup()
+    print(
+        f"serving on http://{args.host}:{args.port}  "
+        + json.dumps(service.health()),
+        file=sys.stderr,
+    )
+    serve_forever(service, args.host, args.port)
+    return 0
+
+
 def cmd_stream(args):
     """Experimental-domain streaming inference (the reference's RBC real-time
     use case, SURVEY.md §3.4) over a .mat hologram tree."""
@@ -748,6 +787,19 @@ def main(argv=None):
     p.add_argument("--refine", type=int, default=0, metavar="STEPS",
                    help="physics-consistent refinement steps per frame batch")
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("serve", help="HTTP retrieval server (compile-once, "
+                                     "fixed-shape; npz in/out)")
+    _add_common(p)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8100)
+    p.add_argument("--batch-size", type=int, default=32,
+                   help="compiled batch shape; requests are padded/chunked")
+    p.add_argument("--bf16", action="store_true", default=True,
+                   help="bf16 conv path (default on)")
+    p.add_argument("--fp32", dest="bf16", action="store_false")
+    p.add_argument("--refine", type=int, default=0, metavar="STEPS")
+    p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)
     return args.fn(args)

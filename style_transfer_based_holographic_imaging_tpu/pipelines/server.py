@@ -1,0 +1,219 @@
+"""HTTP serving daemon around the retrieval pipeline.
+
+The reference has no serving story at all (its one entry point is a batch
+demo script, test_field_retrieval_mnist.py); production deployment of this
+framework wants a long-lived process that keeps the compiled program and
+the weights resident and answers retrieval requests over the wire. This is
+that process, TPU-first in the ways that matter:
+
+* **Compile once, fixed shapes.** The retrieval program is jitted for ONE
+  static batch shape (B, 1, H, W) at startup. Requests of any size are
+  padded up / chunked to that shape — no shape-polymorphic recompiles ever
+  hit the serving path.
+* **One device owner.** A single lock serializes device work (one chip =
+  one compute stream); the stdlib ThreadingHTTPServer handles sockets and
+  (de)serialization concurrently outside the lock.
+* **npz in, npz out.** Requests carry a ``holo`` array (B, 1, H, W)
+  intensity holograms; responses carry ``amp_foc``/``ph_foc``/
+  ``distance_pred`` (+ raw fields). Everything stdlib + numpy.
+
+Endpoints:
+  GET  /healthz   -> JSON status (device, batch shape, quant/refine config)
+  POST /retrieve  -> npz body with ``holo`` -> npz response
+
+Start from the CLI::
+
+  python -m style_transfer_based_holographic_imaging_tpu.cli serve \
+      --checkpoint checkpoints/ultra/release --quant --port 8100
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
+    make_retrieval_fn,
+)
+
+__all__ = ["RetrievalService", "serve_forever"]
+
+_RESULT_KEYS = ("amp_foc", "ph_foc", "distance_pred", "amp_field", "ph_field")
+
+
+class RetrievalService:
+    """Compiled retrieval program + weights, behind a device lock."""
+
+    def __init__(
+        self,
+        params,
+        style_vector: Tuple[np.ndarray, np.ndarray],
+        config: Optional[ExperimentConfig] = None,
+        *,
+        batch_size: int = 32,
+        dtype=None,
+        quant_scales: Optional[Dict[str, float]] = None,
+        refine_steps: int = 0,
+        style_distance: Optional[float] = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax, self._jnp = jax, jnp
+        self.config = config or ExperimentConfig()
+        self.batch_size = int(batch_size)
+        self.image_size = int(self.config.model.image_size)
+        self.refine_steps = int(refine_steps)
+        self.quantized = quant_scales is not None
+        self.params = params
+        self._sm = jnp.asarray(style_vector[0])
+        self._ss = jnp.asarray(style_vector[1])
+        d_s = (
+            self.config.data.style_distances[0]
+            if style_distance is None
+            else style_distance
+        )
+        self._d_style = jnp.full((self.batch_size, 1, 1, 1), d_s, jnp.float32)
+        self._fn = make_retrieval_fn(
+            self.config.physics,
+            alpha=self.config.eval.alpha,
+            dtype=dtype,
+            width=self.config.model.width,
+            quant_scales=quant_scales,
+        )
+        self._lock = threading.Lock()
+        self.n_served = 0
+
+    def warmup(self) -> None:
+        """Trigger the one-time compile before the first request."""
+        dummy = np.full(
+            (self.batch_size, 1, self.image_size, self.image_size), 0.1, np.float32
+        )
+        self.retrieve(dummy)
+        self.n_served = 0
+
+    def _run_one(self, holo_np: np.ndarray) -> Dict[str, np.ndarray]:
+        jax, jnp = self._jax, self._jnp
+        out = self._fn(
+            self.params, jnp.asarray(holo_np), self._sm, self._ss, self._d_style
+        )
+        if self.refine_steps:
+            from style_transfer_based_holographic_imaging_tpu.pipelines.refine import (
+                physics_refine,
+            )
+
+            refined = physics_refine(
+                out["amp_foc"],
+                out["ph_foc"],
+                out["distance_pred"],
+                jnp.sqrt(jnp.asarray(holo_np, jnp.float32)),
+                self.config.physics,
+                steps=self.refine_steps,
+            )
+            out = dict(out, amp_foc=refined["amp"], ph_foc=refined["phase"])
+        return {k: np.asarray(jax.device_get(out[k])) for k in _RESULT_KEYS if k in out}
+
+    def retrieve(self, holo: np.ndarray) -> Dict[str, np.ndarray]:
+        """Run retrieval on (B, 1, H, W) intensity holograms, any B >= 1.
+
+        Chunks/pads to the compiled batch size; returns host numpy arrays
+        trimmed back to the request's B.
+        """
+        holo = np.asarray(holo, np.float32)
+        if holo.ndim == 3:
+            holo = holo[:, None]
+        if holo.ndim != 4 or holo.shape[1] != 1 or holo.shape[2:] != (
+            self.image_size,
+            self.image_size,
+        ):
+            raise ValueError(
+                f"expected (B, 1, {self.image_size}, {self.image_size}) intensity "
+                f"holograms, got {holo.shape}"
+            )
+        n = holo.shape[0]
+        outs = []
+        with self._lock:
+            for lo in range(0, n, self.batch_size):
+                chunk = holo[lo : lo + self.batch_size]
+                pad = self.batch_size - chunk.shape[0]
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0
+                    )
+                out = self._run_one(chunk)
+                if pad:
+                    out = {k: v[: self.batch_size - pad] for k, v in out.items()}
+                outs.append(out)
+            self.n_served += n
+        if len(outs) == 1:
+            return outs[0]
+        return {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
+
+    def health(self) -> Dict:
+        return {
+            "status": "ok",
+            "device": str(self._jax.devices()[0]),
+            "batch_size": self.batch_size,
+            "image_size": self.image_size,
+            "width": self.config.model.width,
+            "quantized": self.quantized,
+            "refine_steps": self.refine_steps,
+            "n_served": self.n_served,
+        }
+
+
+def _make_handler(service: RetrievalService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path in ("/healthz", "/health", "/"):
+                self._send_json(200, service.health())
+            else:
+                self._send_json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/retrieve":
+                self._send_json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                with np.load(io.BytesIO(self.rfile.read(length))) as z:
+                    if "holo" not in z:
+                        raise ValueError("npz must contain a 'holo' array")
+                    holo = z["holo"]
+                out = service.retrieve(holo)
+            except Exception as e:  # noqa: BLE001 — wire errors back, keep serving
+                self._send_json(400, {"error": str(e)})
+                return
+            buf = io.BytesIO()
+            np.savez_compressed(buf, **out)
+            self._send(200, buf.getvalue(), "application/octet-stream")
+
+    return Handler
+
+
+def serve_forever(
+    service: RetrievalService, host: str = "127.0.0.1", port: int = 8100
+) -> ThreadingHTTPServer:
+    """Start the HTTP server (blocking). Returns only on shutdown()."""
+    httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+    httpd.serve_forever()
+    return httpd

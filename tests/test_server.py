@@ -1,0 +1,117 @@
+"""HTTP retrieval server (pipelines/server.py).
+
+The reference has no serving surface; this covers the daemon we add on top:
+compile-once fixed-batch semantics (padding + chunking), npz wire format,
+and error handling.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from style_transfer_based_holographic_imaging_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+)
+from style_transfer_based_holographic_imaging_tpu.models import init_net_params
+from style_transfer_based_holographic_imaging_tpu.pipelines.server import (
+    RetrievalService,
+    _make_handler,
+)
+
+
+@pytest.fixture(scope="module")
+def service():
+    cfg = ExperimentConfig(
+        model=ModelConfig(image_size=32), data=DataConfig(image_size=32)
+    )
+    params = init_net_params(jax.random.key(0), image_size=32)
+    rng = np.random.default_rng(0)
+    sm = rng.random((1, 1, 1, 512), np.float32)
+    ss = rng.random((1, 1, 1, 512), np.float32) + 0.5
+    svc = RetrievalService(params, (sm, ss), cfg, batch_size=4)
+    svc.warmup()
+    return svc
+
+
+@pytest.fixture(scope="module")
+def server_url(service):
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(service))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _holo(b, rng=None):
+    rng = rng or np.random.default_rng(1)
+    return (rng.random((b, 1, 32, 32)) * 0.6 + 0.05).astype(np.float32)
+
+
+class TestService:
+    def test_pad_and_chunk_match_direct(self, service):
+        """B=6 over a compiled batch of 4 (one padded chunk + one full) must
+        equal the per-sample results of a straight call."""
+        holo = _holo(6)
+        out = service.retrieve(holo)
+        assert out["amp_foc"].shape == (6, 1, 32, 32)
+        assert out["distance_pred"].shape == (6, 1, 1, 1)
+        # same samples, different batch packing -> identical results
+        out2 = service.retrieve(holo[:4])
+        np.testing.assert_allclose(
+            out["amp_foc"][:4], out2["amp_foc"], rtol=0, atol=1e-5
+        )
+
+    def test_shape_validation(self, service):
+        with pytest.raises(ValueError, match="expected"):
+            service.retrieve(np.zeros((2, 1, 16, 16), np.float32))
+
+    def test_3d_input_promoted(self, service):
+        out = service.retrieve(_holo(2)[:, 0])
+        assert out["ph_foc"].shape == (2, 1, 32, 32)
+
+
+class TestHTTP:
+    def test_healthz(self, server_url):
+        with urllib.request.urlopen(server_url + "/healthz") as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok"
+        assert h["batch_size"] == 4
+        assert h["image_size"] == 32
+
+    def test_retrieve_roundtrip(self, server_url, service):
+        holo = _holo(3)
+        buf = io.BytesIO()
+        np.savez_compressed(buf, holo=holo)
+        req = urllib.request.Request(
+            server_url + "/retrieve", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            out = dict(np.load(io.BytesIO(r.read())))
+        assert out["amp_foc"].shape == (3, 1, 32, 32)
+        want = service.retrieve(holo)
+        np.testing.assert_allclose(out["ph_foc"], want["ph_foc"], atol=1e-5)
+
+    def test_bad_request_is_400_and_keeps_serving(self, server_url):
+        req = urllib.request.Request(
+            server_url + "/retrieve", data=b"not-an-npz", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+        with urllib.request.urlopen(server_url + "/healthz") as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+    def test_unknown_path_404(self, server_url):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(server_url + "/nope")
+        assert ei.value.code == 404
