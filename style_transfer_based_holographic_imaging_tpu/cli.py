@@ -494,6 +494,12 @@ def cmd_serve(args):
         return 1
     cfg = _load_config(args) or ExperimentConfig()
 
+    mesh = None
+    if args.devices and args.devices > 1:
+        from style_transfer_based_holographic_imaging_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.devices)
+
     service = RetrievalService(
         params,
         style,
@@ -502,6 +508,7 @@ def cmd_serve(args):
         dtype=jnp.bfloat16 if args.bf16 else None,
         quant_scales=_load_quant_scales(args),
         refine_steps=args.refine,
+        mesh=mesh,
     )
     print("compiling retrieval program ...", file=sys.stderr)
     service.warmup()
@@ -799,6 +806,8 @@ def main(argv=None):
                    help="bf16 conv path (default on)")
     p.add_argument("--fp32", dest="bf16", action="store_false")
     p.add_argument("--refine", type=int, default=0, metavar="STEPS")
+    p.add_argument("--devices", type=int, default=0,
+                   help="batch data-parallel serving over the first N devices")
     p.set_defaults(fn=cmd_serve)
 
     args = parser.parse_args(argv)

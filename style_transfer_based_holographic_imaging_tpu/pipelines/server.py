@@ -61,6 +61,7 @@ class RetrievalService:
         quant_scales: Optional[Dict[str, float]] = None,
         refine_steps: int = 0,
         style_distance: Optional[float] = None,
+        mesh=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -68,6 +69,25 @@ class RetrievalService:
         self._jax, self._jnp = jax, jnp
         self.config = config or ExperimentConfig()
         self.batch_size = int(batch_size)
+        # Batch data-parallel serving: shard the compiled batch over the mesh
+        # (params/style replicated, XLA partitions the program — the same DP
+        # layout as pipelines/streaming). batch_size must divide by the mesh.
+        self.mesh = mesh
+        self._in_sharding = None
+        if mesh is not None:
+            from style_transfer_based_holographic_imaging_tpu.parallel import (
+                batch_sharding,
+                replicated,
+            )
+
+            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            if self.batch_size % n_dev:
+                raise ValueError(
+                    f"batch_size {self.batch_size} must divide by the "
+                    f"{n_dev}-device mesh"
+                )
+            self._in_sharding = batch_sharding(mesh)
+            params = jax.device_put(params, replicated(mesh))
         self.image_size = int(self.config.model.image_size)
         self.refine_steps = int(refine_steps)
         self.quantized = quant_scales is not None
@@ -80,6 +100,14 @@ class RetrievalService:
             else style_distance
         )
         self._d_style = jnp.full((self.batch_size, 1, 1, 1), d_s, jnp.float32)
+        if self._in_sharding is not None:
+            from style_transfer_based_holographic_imaging_tpu.parallel import (
+                replicated,
+            )
+
+            self._sm = jax.device_put(self._sm, replicated(mesh))
+            self._ss = jax.device_put(self._ss, replicated(mesh))
+            self._d_style = jax.device_put(self._d_style, self._in_sharding)
         self._fn = make_retrieval_fn(
             self.config.physics,
             alpha=self.config.eval.alpha,
@@ -100,9 +128,12 @@ class RetrievalService:
 
     def _run_one(self, holo_np: np.ndarray) -> Dict[str, np.ndarray]:
         jax, jnp = self._jax, self._jnp
-        out = self._fn(
-            self.params, jnp.asarray(holo_np), self._sm, self._ss, self._d_style
+        holo_dev = (
+            jax.device_put(np.asarray(holo_np, np.float32), self._in_sharding)
+            if self._in_sharding is not None
+            else jnp.asarray(holo_np)
         )
+        out = self._fn(self.params, holo_dev, self._sm, self._ss, self._d_style)
         if self.refine_steps:
             from style_transfer_based_holographic_imaging_tpu.pipelines.refine import (
                 physics_refine,
@@ -164,6 +195,11 @@ class RetrievalService:
             "width": self.config.model.width,
             "quantized": self.quantized,
             "refine_steps": self.refine_steps,
+            "n_devices": (
+                1
+                if self.mesh is None
+                else int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+            ),
             "n_served": self.n_served,
         }
 

@@ -115,3 +115,48 @@ class TestHTTP:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(server_url + "/nope")
         assert ei.value.code == 404
+
+
+class TestMeshServing:
+    def test_dp_mesh_matches_single_device(self, service):
+        """The same service config over an 8-device DP mesh must reproduce the
+        single-device results bitwise (params replicated, batch sharded)."""
+        from style_transfer_based_holographic_imaging_tpu.parallel import make_mesh
+
+        cfg = ExperimentConfig(
+            model=ModelConfig(image_size=32), data=DataConfig(image_size=32)
+        )
+        params = init_net_params(jax.random.key(0), image_size=32)
+        rng = np.random.default_rng(0)
+        sm = rng.random((1, 1, 1, 512), np.float32)
+        ss = rng.random((1, 1, 1, 512), np.float32) + 0.5
+        svc8 = RetrievalService(
+            params, (sm, ss), cfg, batch_size=8, mesh=make_mesh(8)
+        )
+        holo = _holo(8)
+        got = svc8.retrieve(holo)
+        assert svc8.health()["n_devices"] == 8
+        # reference: the module-scoped single-device service (batch 4, same
+        # params/style RNG) — chunked into 2 batches of 4.
+        want = service.retrieve(holo)
+        # The congruent phase unwrap snaps to 2*pi multiples of the input; a
+        # different batch packing can flip a rounding boundary on isolated
+        # pixels, so compare modulo 2*pi.
+        d = got["ph_foc"] - want["ph_foc"]
+        d = d - 2 * np.pi * np.round(d / (2 * np.pi))
+        np.testing.assert_allclose(d, 0.0, atol=1e-4)
+        np.testing.assert_allclose(
+            got["distance_pred"], want["distance_pred"], atol=2e-6
+        )
+
+    def test_indivisible_batch_rejected(self):
+        from style_transfer_based_holographic_imaging_tpu.parallel import make_mesh
+
+        cfg = ExperimentConfig(
+            model=ModelConfig(image_size=32), data=DataConfig(image_size=32)
+        )
+        params = init_net_params(jax.random.key(0), image_size=32)
+        sm = np.zeros((1, 1, 1, 512), np.float32)
+        ss = np.ones((1, 1, 1, 512), np.float32)
+        with pytest.raises(ValueError, match="divide"):
+            RetrievalService(params, (sm, ss), cfg, batch_size=6, mesh=make_mesh(8))
