@@ -475,6 +475,74 @@ def cmd_sweep(args):
     return 0
 
 
+def cmd_doctor(args):
+    """Environment / artifact diagnostic: backend + transport health, release
+    checkpoint inventory with recorded quality, native libs. Never touches
+    the device when the remote transport is down (a dead relay makes
+    jax.devices() block forever — utils/transport.py)."""
+    from style_transfer_based_holographic_imaging_tpu.utils.transport import (
+        tpu_transport_ready,
+    )
+
+    rep = {"jax_platforms_env": os.environ.get("JAX_PLATFORMS", "")}
+    rep["transport_ready"] = tpu_transport_ready()
+    if getattr(args, "cpu", False) or rep["transport_ready"]:
+        _setup_backend(args)
+        import jax
+
+        rep["devices"] = [str(d) for d in jax.devices()]
+    else:
+        rep["devices"] = "skipped (remote transport down)"
+
+    tiers = {}
+    root = "checkpoints"
+    if os.path.isdir(root):
+        cands = [("flagship", root)] + [
+            (n, os.path.join(root, n))
+            for n in sorted(os.listdir(root))
+            if os.path.isdir(os.path.join(root, n, "release"))
+        ]
+        for name, d in cands:
+            if not os.path.isdir(os.path.join(d, "release")):
+                continue
+            t = {"path": os.path.join(d, "release")}
+            gm = os.path.join(d, "golden_metrics.json")
+            if os.path.isfile(gm):
+                with open(gm) as f:
+                    m = json.load(f)
+                t["golden"] = {
+                    k: round(m[k], 4)
+                    for k in ("mean_psnr", "r2", "refined_mean_psnr")
+                    if k in m
+                }
+            t["int8_scales"] = os.path.isfile(os.path.join(d, "quant_scales.json"))
+            tiers[name] = t
+        for tag in ("rbc", "bead"):
+            rel = os.path.join(root, f"{tag}_release")
+            if os.path.isdir(rel):
+                t = {"path": rel}
+                dm = os.path.join(root, f"{tag}_domain_metrics.json")
+                if os.path.isfile(dm):
+                    with open(dm) as f:
+                        m = json.load(f)
+                    t["domain"] = {
+                        k: round(m[k], 4)
+                        for k in ("mean_psnr", "r2", "refined_mean_psnr")
+                        if k in m
+                    }
+                t["int8_scales"] = os.path.isfile(
+                    os.path.join(root, f"{tag}_quant_scales.json")
+                )
+                tiers[tag] = t
+    rep["releases"] = tiers
+    rep["native_libs"] = sorted(
+        f for f in (os.listdir("native") if os.path.isdir("native") else [])
+        if f.endswith(".so")
+    )
+    print(json.dumps(rep, indent=2))
+    return 0
+
+
 def cmd_serve(args):
     """Long-lived retrieval server (pipelines/server.py): weights + ONE
     compiled fixed-shape program resident, npz requests over HTTP."""
@@ -809,6 +877,11 @@ def main(argv=None):
     p.add_argument("--devices", type=int, default=0,
                    help="batch data-parallel serving over the first N devices")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("doctor", help="backend/transport health + release "
+                                      "artifact inventory (JSON)")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.set_defaults(fn=cmd_doctor)
 
     args = parser.parse_args(argv)
     return args.fn(args)

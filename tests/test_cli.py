@@ -152,3 +152,15 @@ class TestQuantScaleResolution:
             quant="auto", checkpoint=str(parent / "release")
         )
         assert _load_quant_scales(args) == {"conv1_1": 2.5}
+
+
+class TestDoctorCommand:
+    def test_doctor_reports_inventory(self, capsys):
+        import json as _json
+
+        rc = main(["doctor", "--cpu"])
+        assert rc == 0
+        rep = _json.loads(capsys.readouterr().out)
+        assert "transport_ready" in rep
+        assert "flagship" in rep["releases"]
+        assert rep["releases"]["flagship"]["int8_scales"] is True
