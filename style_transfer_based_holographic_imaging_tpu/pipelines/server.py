@@ -42,7 +42,7 @@ from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval impo
     make_retrieval_fn,
 )
 
-__all__ = ["RetrievalService", "serve_forever"]
+__all__ = ["RetrievalService", "serve_forever", "retrieve_remote"]
 
 _RESULT_KEYS = ("amp_foc", "ph_foc", "distance_pred", "amp_field", "ph_field")
 
@@ -244,6 +244,22 @@ def _make_handler(service: RetrievalService):
             self._send(200, buf.getvalue(), "application/octet-stream")
 
     return Handler
+
+
+def retrieve_remote(
+    url: str, holo: np.ndarray, timeout: float = 120.0
+) -> Dict[str, np.ndarray]:
+    """Client helper: POST (B, 1, H, W) intensity holograms to a running
+    `cli serve` daemon and return its arrays. Stdlib-only."""
+    import urllib.request
+
+    buf = io.BytesIO()
+    np.savez_compressed(buf, holo=np.asarray(holo, np.float32))
+    req = urllib.request.Request(
+        url.rstrip("/") + "/retrieve", data=buf.getvalue(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return dict(np.load(io.BytesIO(r.read())))
 
 
 def serve_forever(

@@ -160,3 +160,14 @@ class TestMeshServing:
         ss = np.ones((1, 1, 1, 512), np.float32)
         with pytest.raises(ValueError, match="divide"):
             RetrievalService(params, (sm, ss), cfg, batch_size=6, mesh=make_mesh(8))
+
+
+def test_retrieve_remote_client(server_url, service):
+    from style_transfer_based_holographic_imaging_tpu.pipelines.server import (
+        retrieve_remote,
+    )
+
+    holo = _holo(2)
+    out = retrieve_remote(server_url, holo)
+    want = service.retrieve(holo)
+    np.testing.assert_allclose(out["amp_foc"], want["amp_foc"], atol=1e-5)
