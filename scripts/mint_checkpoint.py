@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--content-weight", type=float, default=1.0)
     ap.add_argument("--distance-weight", type=float, default=10.0)
     ap.add_argument("--adv-weight", type=float, default=0.0)
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="micro-batches accumulated per optimizer step")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--bank", choices=("sklearn", "golden", "mixed"), default="mixed",
                     help="digit bank for hologram synthesis: sklearn digits, the "
@@ -89,6 +91,7 @@ def main():
             content_weight=args.content_weight,
             distance_weight=args.distance_weight,
             adv_weight=args.adv_weight,
+            grad_accum=args.grad_accum,
             log_every=200,
         ),
     )

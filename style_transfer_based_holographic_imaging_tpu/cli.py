@@ -234,6 +234,7 @@ def cmd_train(args):
         content_weight=args.content_weight,
         style_weight=args.style_weight,
         log_every=args.log_every,
+        grad_accum=args.grad_accum,
     )
     if args.domain:
         # Train inside an experimental-domain preset (its physics constants
@@ -793,6 +794,8 @@ def main(argv=None):
     p.add_argument("--supervised-weight", type=float, default=10.0)
     p.add_argument("--physics-weight", type=float, default=10.0)
     p.add_argument("--adv-weight", type=float, default=0.0)
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="micro-batches accumulated per optimizer step")
     p.add_argument("--distance-weight", type=float, default=20.0)
     p.add_argument("--content-weight", type=float, default=0.1)
     p.add_argument("--style-weight", type=float, default=0.1)

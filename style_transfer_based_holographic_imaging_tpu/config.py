@@ -113,6 +113,12 @@ class TrainConfig:
     log_every: int = 100
     checkpoint_dir: str = "checkpoints"
     dp_axis: str = "data"               # mesh axis name for batch data-parallel
+    grad_accum: int = 1                 # micro-batches per optimizer step: the
+                                        # batch is split in grad_accum equal
+                                        # chunks scanned on-device (summed
+                                        # grads / k == full-batch grads — all
+                                        # losses are per-sample means), trading
+                                        # step latency for activation memory
     freeze_encoder: bool = True         # reference semantics (net.py:167-170);
                                         # False lets the encoder train too
                                         # (useful when no pretrained VGG

@@ -160,22 +160,68 @@ def make_train_step(
     """Build the jitted train step; with ``mesh`` the batch is sharded along
     ``cfg.dp_axis`` and params are replicated (XLA inserts the grad psum)."""
 
+    if cfg.grad_accum > 1 and cfg.adv_weight:
+        raise ValueError(
+            "grad_accum > 1 is not supported with the adversarial term "
+            "(the discriminator update would see stale generator outputs)"
+        )
+
     def step(state: TrainState, batch, rng_base):
         # Fold the per-step dropout key from the device-side step counter so
         # the host loop never dispatches RNG ops (on the remote axon backend
         # every host-side jax call is a network round trip — see train()).
         rng = jax.random.fold_in(rng_base, state.step)
         grad_fn = jax.value_and_grad(generator_loss_fn, has_aux=True)
-        (loss, aux), grads = grad_fn(
-            state.params,
-            batch,
-            rng,
-            net=net,
-            physics=physics,
-            cfg=cfg,
-            disc_params=state.disc_params,
-            disc=disc,
-        )
+        if cfg.grad_accum > 1:
+            # Micro-batch accumulation: scan the grad computation over k
+            # equal chunks of the batch with the SAME params, average the
+            # grads. Every loss is a per-sample mean, so mean-of-micro-grads
+            # == full-batch grads (fp order aside); activation memory drops
+            # by k while the optimizer/update math is unchanged.
+            k = cfg.grad_accum
+            micro = jax.tree.map(
+                lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]), batch
+            )
+
+            def micro_grads(mb, i):
+                (_, a), g = grad_fn(
+                    state.params,
+                    mb,
+                    jax.random.fold_in(rng, i),
+                    net=net,
+                    physics=physics,
+                    cfg=cfg,
+                    disc_params=state.disc_params,
+                    disc=disc,
+                )
+                a.pop("g_t", None)
+                return g, a
+
+            def body(carry, mb_i):
+                mb, i = mb_i
+                return jax.tree.map(jnp.add, carry, micro_grads(mb, i)), None
+
+            # micro-batch 0 seeds the carry (also fixes the aux structure);
+            # the scan accumulates the remaining k-1.
+            first = micro_grads(jax.tree.map(lambda x: x[0], micro), 0)
+            rest = jax.tree.map(lambda x: x[1:], micro)
+            (grads, aux), _ = jax.lax.scan(
+                body, first, (rest, jnp.arange(1, k))
+            )
+            inv_k = 1.0 / k
+            grads = jax.tree.map(lambda g: g * inv_k, grads)
+            aux = jax.tree.map(lambda a: a * inv_k, aux)
+        else:
+            (loss, aux), grads = grad_fn(
+                state.params,
+                batch,
+                rng,
+                net=net,
+                physics=physics,
+                cfg=cfg,
+                disc_params=state.disc_params,
+                disc=disc,
+            )
         new_state = state.apply_gradients(grads)
 
         if cfg.adv_weight and disc is not None and state.disc_params is not None:

@@ -253,3 +253,36 @@ class TestTrainMetricsJsonl:
         rec = _json.loads(lines[-1])
         assert rec["step"] == 2
         assert "loss_total" in rec and "img_per_sec" in rec
+
+
+class TestGradAccumulation:
+    def test_accumulated_step_matches_full_batch(self, bank, small_params):
+        """grad_accum=4 over a batch of 4 must produce the same update as one
+        full-batch step (all losses are per-sample means; dropout off)."""
+        import dataclasses
+
+        data = dataclasses.replace(SMALL_DATA, batch_size=4)
+        batch = synth_batch(
+            jax.random.key(0), jnp.asarray(bank), data=data, physics=PHYSICS,
+            return_gt=True,
+        )
+        net = StyleTransferNet()
+        results = []
+        for k in (1, 4):
+            cfg = TrainConfig(checkpoint_every=0, adv_weight=0.0, grad_accum=k)
+            state = create_train_state(jax.device_get(small_params), cfg)
+            step_fn = make_train_step(net, PHYSICS, cfg)
+            new_state, aux = step_fn(state, jax.device_get(batch), jax.random.key(1))
+            results.append((jax.device_get(new_state.params), float(aux["loss_total"])))
+        p1, l1 = results[0]
+        p4, l4 = results[1]
+        assert abs(l1 - l4) < 1e-3 * max(abs(l1), 1.0)
+        leaves1 = jax.tree_util.tree_leaves(p1["params"]["decoder"])
+        leaves4 = jax.tree_util.tree_leaves(p4["params"]["decoder"])
+        for a, b in zip(leaves1, leaves4):
+            np.testing.assert_allclose(a, b, atol=5e-6)
+
+    def test_adv_with_accum_rejected(self):
+        cfg = TrainConfig(adv_weight=1.0, grad_accum=2)
+        with pytest.raises(ValueError, match="grad_accum"):
+            make_train_step(StyleTransferNet(), PHYSICS, cfg)
