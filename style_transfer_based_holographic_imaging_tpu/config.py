@@ -113,6 +113,11 @@ class TrainConfig:
     log_every: int = 100
     checkpoint_dir: str = "checkpoints"
     dp_axis: str = "data"               # mesh axis name for batch data-parallel
+    remat: bool = False                 # jax.checkpoint the network forward:
+                                        # recompute activations in backward,
+                                        # ~1/3 extra FLOPs for O(1) activation
+                                        # memory (combine with grad_accum for
+                                        # very large effective batches)
     grad_accum: int = 1                 # micro-batches per optimizer step: the
                                         # batch is split in grad_accum equal
                                         # chunks scanned on-device (summed

@@ -73,16 +73,24 @@ def generator_loss_fn(
     content = _nhwc(batch["content_holo"])
     style = _nhwc(batch["style_holo"])
 
-    out = net.apply(
-        params,
-        content,
-        style,
-        1.0,
-        field_retrieval=True,
-        unknown_distance=True,
-        deterministic=not cfg.use_dropout,
-        rngs={"dropout": rng},
-    )
+    def apply_net(p, c, s, r):
+        return net.apply(
+            p,
+            c,
+            s,
+            1.0,
+            field_retrieval=True,
+            unknown_distance=True,
+            deterministic=not cfg.use_dropout,
+            rngs={"dropout": r},
+        )
+
+    if cfg.remat:
+        # Rematerialize the network forward on the backward pass: activation
+        # memory drops from O(depth) to O(1) network copies at ~1/3 extra
+        # FLOPs — the standard TPU HBM-for-FLOPs trade for big batches/widths.
+        apply_net = jax.checkpoint(apply_net)
+    out = apply_net(params, content, style, rng)
 
     amp_t = _nchw(out["g_t"])          # decoded style-plane amplitude
     ph_t = _nchw(out["g_t_phase"])     # decoded style-plane phase

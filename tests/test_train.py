@@ -286,3 +286,30 @@ class TestGradAccumulation:
         cfg = TrainConfig(adv_weight=1.0, grad_accum=2)
         with pytest.raises(ValueError, match="grad_accum"):
             make_train_step(StyleTransferNet(), PHYSICS, cfg)
+
+
+def test_remat_step_matches_plain(bank, small_params):
+    """cfg.remat recomputes activations in the backward pass — results must
+    be identical to the plain step (same program semantics)."""
+    import dataclasses
+
+    data = dataclasses.replace(SMALL_DATA, batch_size=2)
+    batch = synth_batch(
+        jax.random.key(0), jnp.asarray(bank), data=data, physics=PHYSICS,
+        return_gt=True,
+    )
+    net = StyleTransferNet()
+    outs = []
+    for remat in (False, True):
+        cfg = TrainConfig(checkpoint_every=0, adv_weight=0.0, remat=remat)
+        state = create_train_state(jax.device_get(small_params), cfg)
+        step_fn = make_train_step(net, PHYSICS, cfg)
+        new_state, aux = step_fn(state, jax.device_get(batch), jax.random.key(1))
+        outs.append((jax.device_get(new_state.params), float(aux["loss_total"])))
+    (p0, l0), (p1, l1) = outs
+    assert abs(l0 - l1) < 1e-5 * max(abs(l0), 1.0)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p0["params"]["decoder"]),
+        jax.tree_util.tree_leaves(p1["params"]["decoder"]),
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-6)
