@@ -637,12 +637,39 @@ def cmd_stream(args):
     n_steady = 0
     t_steady = None
     last = None
+    sharding = None
+    if args.devices and args.devices > 1:
+        from style_transfer_based_holographic_imaging_tpu.parallel import (
+            batch_sharding,
+            make_mesh,
+            replicated,
+        )
+
+        mesh = make_mesh(args.devices)
+        sharding = batch_sharding(mesh)
+        params = jax.device_put(params, replicated(mesh))
+        if args.batch_size % args.devices:
+            print(
+                f"--batch-size {args.batch_size} must divide by --devices "
+                f"{args.devices}",
+                file=sys.stderr,
+            )
+            return 1
+
+    batches = ds.batches(args.batch_size, drop_remainder=sharding is not None)
+    if sharding is not None and len(ds) % args.batch_size:
+        print(
+            f"note: dropping the ragged final batch ({len(ds) % args.batch_size} "
+            "frames) — a sharded batch must keep the compiled shape",
+            file=sys.stderr,
+        )
     for out in stream_retrieval(
         params,
-        ds.batches(args.batch_size),
+        batches,
         style,
         cfg,
         style_distance=args.style_distance,
+        sharding=sharding,
         refine_steps=args.refine,
         quant_scales=_load_quant_scales(args),
     ):
@@ -864,6 +891,8 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--refine", type=int, default=0, metavar="STEPS",
                    help="physics-consistent refinement steps per frame batch")
+    p.add_argument("--devices", type=int, default=0,
+                   help="batch data-parallel streaming over the first N devices")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("serve", help="HTTP retrieval server (compile-once, "

@@ -164,3 +164,39 @@ class TestDoctorCommand:
         assert "transport_ready" in rep
         assert "flagship" in rep["releases"]
         assert rep["releases"]["flagship"]["int8_scales"] is True
+
+
+class TestStreamDP:
+    def test_stream_devices_flag(self, tmp_path, capsys):
+        """--devices 2: batch-DP streaming over the virtual CPU mesh, ragged
+        tail dropped to keep the compiled shape."""
+        root = tmp_path / "red_blood_cell"
+        holo_dir = root / "test" / "holography" / "6.0"
+        os.makedirs(holo_dir)
+        rng = np.random.default_rng(0)
+        for j in range(1, 6):  # 5 frames: batches of 2 -> ragged tail of 1
+            sio.savemat(
+                str(holo_dir / f"holography{j}.mat"),
+                {"holography": rng.random((32, 32))},
+            )
+        sv = tmp_path / "sv.npz"
+        np.savez(
+            str(sv),
+            mean=rng.random((1, 1, 1, 512)).astype(np.float32),
+            std=(rng.random((1, 1, 1, 512)) + 0.5).astype(np.float32),
+        )
+        rc = main(
+            [
+                "stream",
+                "--root", str(root),
+                "--domain", "red_blood_cell",
+                "--distances", "6.0",
+                "--style-vector", str(sv),
+                "--batch-size", "2",
+                "--devices", "2",
+                "--cpu",
+            ]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert '"frames": 4' in out  # 5th frame dropped with a note
