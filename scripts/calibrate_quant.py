@@ -115,7 +115,6 @@ def run_domain(domain, args):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    import orbax.checkpoint as ocp
 
     from style_transfer_based_holographic_imaging_tpu.config import DOMAIN_PRESETS
     from style_transfer_based_holographic_imaging_tpu.data.synth import (
@@ -123,13 +122,15 @@ def run_domain(domain, args):
         rbc_bank,
         synth_batch,
     )
-    from style_transfer_based_holographic_imaging_tpu.models import init_net_params
     from style_transfer_based_holographic_imaging_tpu.models.quant import (
         calibrate_scales,
         save_scales,
     )
     from style_transfer_based_holographic_imaging_tpu.pipelines.domain_eval import (
         evaluate_synth_domain,
+    )
+    from style_transfer_based_holographic_imaging_tpu.train import (
+        load_release_params,
     )
 
     EVAL_BANK_SEED = 7919   # matches mint_domain_checkpoint / exp_domain_refine
@@ -142,15 +143,7 @@ def run_domain(domain, args):
     cfg = _dc.replace(
         cfg, data=_dc.replace(cfg.data, batch_size=args.batch_size)
     )
-    try:
-        variables = ocp.StandardCheckpointer().restore(release)["params"]
-    except ValueError:
-        target = {
-            "params": jax.device_get(
-                init_net_params(jax.random.key(0), width=cfg.model.width)
-            )
-        }
-        variables = ocp.StandardCheckpointer().restore(release, target)["params"]
+    variables = load_release_params(release, width=cfg.model.width)
     sv = np.load(os.path.join(repo, "checkpoints", f"{tag}_style_vector.npz"))
 
     make_bank = {"polystyrene": bead_bank, "red_blood_cell": rbc_bank}[domain]

@@ -36,8 +36,9 @@ def main():
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
 
+    import dataclasses
+
     import numpy as np
-    import orbax.checkpoint as ocp
 
     from style_transfer_based_holographic_imaging_tpu.config import DOMAIN_PRESETS
     from style_transfer_based_holographic_imaging_tpu.data.synth import (
@@ -47,32 +48,22 @@ def main():
     from style_transfer_based_holographic_imaging_tpu.pipelines.domain_eval import (
         evaluate_synth_domain,
     )
+    from style_transfer_based_holographic_imaging_tpu.train import (
+        load_release_params,
+    )
 
     tag = {"polystyrene": "bead", "red_blood_cell": "rbc"}[args.domain]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     release = os.path.join(repo, "checkpoints", f"{tag}_release")
-    cfg_pre = DOMAIN_PRESETS[args.domain]()
-    try:
-        params = ocp.StandardCheckpointer().restore(os.path.abspath(release))[
-            "params"
-        ]
-    except ValueError:
-        # Checkpoints saved on the TPU carry device shardings that a CPU
-        # restore-without-target rejects; restore into a concrete host tree.
-        from style_transfer_based_holographic_imaging_tpu.models import (
-            init_net_params,
-        )
-
-        target = {
-            "params": jax.device_get(
-                init_net_params(jax.random.key(0), width=cfg_pre.model.width)
-            )
-        }
-        params = ocp.StandardCheckpointer().restore(
-            os.path.abspath(release), target
-        )["params"]
-    sv = np.load(os.path.join(repo, "checkpoints", f"{tag}_style_vector.npz"))
     cfg = DOMAIN_PRESETS[args.domain]()
+    # The recorded domain metrics were minted at batch 32 (n_samples 320);
+    # evaluate on the identical stream — synth_batch's draws depend on the
+    # batch shape, so a different batch size is a different eval set.
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, batch_size=32)
+    )
+    params = load_release_params(release, width=cfg.model.width)
+    sv = np.load(os.path.join(repo, "checkpoints", f"{tag}_style_vector.npz"))
     make_bank = {"polystyrene": bead_bank, "red_blood_cell": rbc_bank}[args.domain]
     eval_bank = make_bank(n=512, seed=EVAL_BANK_SEED)
 

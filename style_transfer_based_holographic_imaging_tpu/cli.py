@@ -131,12 +131,19 @@ def _load_config(args):
     ckpt = getattr(args, "checkpoint", None) or _default_ckpt()
     if not ckpt:
         return None
+    base = os.path.basename(ckpt.rstrip("/"))
+    parent = os.path.dirname(ckpt.rstrip("/")) or "."
     cands = [os.path.join(ckpt, "config.json")]
     # The parent dir's config.json belongs to the canonical `release`
     # checkpoint only — a sibling like rbc_release must not inherit the MNIST
-    # release's physics.
-    if os.path.basename(ckpt.rstrip("/")) == "release":
-        cands.append(os.path.join(os.path.dirname(ckpt.rstrip("/")), "config.json"))
+    # release's physics; domain releases ship their run config as the
+    # sibling <tag>_config.json (same convention as <tag>_quant_scales.json).
+    if base == "release":
+        cands.append(os.path.join(parent, "config.json"))
+    elif base.endswith("_release"):
+        cands.append(
+            os.path.join(parent, base[: -len("_release")] + "_config.json")
+        )
     for cand in cands:
         if os.path.isfile(cand):
             with open(cand) as f:
@@ -153,8 +160,23 @@ def _load_style(args):
     if path is None:
         ckpt = args.checkpoint or _default_ckpt()
         if ckpt:
-            cand = os.path.join(os.path.dirname(ckpt.rstrip("/")), "style_vector.npz")
-            for c in (os.path.join(ckpt, "style_vector.npz"), cand, "checkpoints/style_vector.npz"):
+            base = os.path.basename(ckpt.rstrip("/"))
+            parent = os.path.dirname(ckpt.rstrip("/")) or "."
+            cands = [os.path.join(ckpt, "style_vector.npz")]
+            if base.endswith("_release") and base != "release":
+                # domain releases: rbc_release -> sibling rbc_style_vector.npz
+                # (the flagship's style_vector.npz must NOT leak in)
+                cands.append(
+                    os.path.join(
+                        parent, base[: -len("_release")] + "_style_vector.npz"
+                    )
+                )
+            else:
+                cands += [
+                    os.path.join(parent, "style_vector.npz"),
+                    "checkpoints/style_vector.npz",
+                ]
+            for c in cands:
                 if os.path.isfile(c):
                     path = c
                     break
@@ -481,13 +503,25 @@ def cmd_doctor(args):
     checkpoint inventory with recorded quality, native libs. Never touches
     the device when the remote transport is down (a dead relay makes
     jax.devices() block forever — utils/transport.py)."""
-    from style_transfer_based_holographic_imaging_tpu.utils.transport import (
-        tpu_transport_ready,
-    )
+    from style_transfer_based_holographic_imaging_tpu.utils import transport
 
     rep = {"jax_platforms_env": os.environ.get("JAX_PLATFORMS", "")}
-    rep["transport_ready"] = tpu_transport_ready()
-    if getattr(args, "cpu", False) or rep["transport_ready"]:
+    rep["transport_ready"] = transport.tpu_transport_ready()
+    if getattr(args, "cpu", False):
+        _setup_backend(args)
+        import jax
+
+        rep["devices"] = [str(d) for d in jax.devices()]
+    elif rep["transport_ready"] and os.environ.get("JAX_PLATFORMS") == "axon":
+        # An open relay port does not rule out a wedged lease, and a wedged
+        # lease makes an in-process jax.devices() hang unkillably — probe in
+        # a killable subprocess instead (utils/transport.py).
+        rep["devices"] = (
+            "remote TPU responsive (subprocess probe)"
+            if transport._probe_once()
+            else "relay up but device probe FAILED (lease wedged?)"
+        )
+    elif rep["transport_ready"]:
         _setup_backend(args)
         import jax
 
@@ -496,7 +530,11 @@ def cmd_doctor(args):
         rep["devices"] = "skipped (remote transport down)"
 
     tiers = {}
-    root = "checkpoints"
+    # anchor the inventory to the repo root (the package's parent), not cwd
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "checkpoints"
+    )
+    rep["scanned"] = root
     if os.path.isdir(root):
         cands = [("flagship", root)] + [
             (n, os.path.join(root, n))
@@ -536,8 +574,9 @@ def cmd_doctor(args):
                 )
                 tiers[tag] = t
     rep["releases"] = tiers
+    native_dir = os.path.join(os.path.dirname(root), "native")
     rep["native_libs"] = sorted(
-        f for f in (os.listdir("native") if os.path.isdir("native") else [])
+        f for f in (os.listdir(native_dir) if os.path.isdir(native_dir) else [])
         if f.endswith(".so")
     )
     print(json.dumps(rep, indent=2))

@@ -139,11 +139,13 @@ class RetrievalService:
                 physics_refine,
             )
 
+            # Reuse the already-transferred (and mesh-sharded) hologram —
+            # sqrt(intensity) on device is the measured amplitude.
             refined = physics_refine(
                 out["amp_foc"],
                 out["ph_foc"],
                 out["distance_pred"],
-                jnp.sqrt(jnp.asarray(holo_np, jnp.float32)),
+                jnp.sqrt(holo_dev.astype(jnp.float32)),
                 self.config.physics,
                 steps=self.refine_steps,
             )
@@ -235,9 +237,16 @@ def _make_handler(service: RetrievalService):
                     if "holo" not in z:
                         raise ValueError("npz must contain a 'holo' array")
                     holo = z["holo"]
-                out = service.retrieve(holo)
-            except Exception as e:  # noqa: BLE001 — wire errors back, keep serving
+            except Exception as e:  # noqa: BLE001 — malformed request
                 self._send_json(400, {"error": str(e)})
+                return
+            try:
+                out = service.retrieve(holo)
+            except ValueError as e:  # bad shapes etc. — client's fault
+                self._send_json(400, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001 — server-side failure
+                self._send_json(500, {"error": str(e)})
                 return
             buf = io.BytesIO()
             np.savez_compressed(buf, **out)

@@ -13,6 +13,7 @@ from style_transfer_based_holographic_imaging_tpu.train.state import (
     save_checkpoint,
     restore_checkpoint,
     latest_snapshot,
+    load_release_params,
 )
 from style_transfer_based_holographic_imaging_tpu.train.loop import (
     generator_loss_fn,
@@ -31,6 +32,7 @@ __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "latest_snapshot",
+    "load_release_params",
     "generator_loss_fn",
     "make_train_step",
     "train",

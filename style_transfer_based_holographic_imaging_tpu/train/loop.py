@@ -187,6 +187,11 @@ def make_train_step(
             # == full-batch grads (fp order aside); activation memory drops
             # by k while the optimizer/update math is unchanged.
             k = cfg.grad_accum
+            b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            if b % k:
+                raise ValueError(
+                    f"batch size {b} must divide by grad_accum={k}"
+                )
             micro = jax.tree.map(
                 lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]), batch
             )

@@ -173,6 +173,32 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
     return state
 
 
+def load_release_params(path: str, *, width: float = 1.0, image_size: int = 128):
+    """Restore a params-only release checkpoint portably.
+
+    Target-less restore works when the checkpoint was saved host-side, but a
+    checkpoint saved on the TPU carries device shardings that a
+    restore-without-target rejects on other backends (ValueError: device not
+    found) — fall back to restoring into a concrete host-initialized tree.
+    One shared implementation so the orbax quirks live in exactly one place.
+    """
+    import orbax.checkpoint as ocp
+
+    from style_transfer_based_holographic_imaging_tpu.models import init_net_params
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        return ckptr.restore(path)["params"]
+    except ValueError:
+        target = {
+            "params": jax.device_get(
+                init_net_params(jax.random.key(0), image_size=image_size, width=width)
+            )
+        }
+        return ckptr.restore(path, target)["params"]
+
+
 def latest_snapshot(ckpt_dir: str) -> Optional[str]:
     """Path of the newest ``iter_<n>`` snapshot in ``ckpt_dir`` (or None).
 

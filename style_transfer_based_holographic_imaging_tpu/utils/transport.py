@@ -27,6 +27,10 @@ __all__ = ["tpu_transport_ready", "wait_for_tpu"]
 _RELAY_PORT = 8082          # first port of the relay's listen set
 _PROBE_TIMEOUT_S = 240      # one compile + tiny matmul fits well within this
 _QUIET_AFTER_FAILED_PROBE_S = 360   # measured minimum for lease recovery
+_SETTLE_AFTER_PROBE_S = 60  # the probe subprocess is itself a TPU process
+                            # exit; launching the caller's process right after
+                            # is the measured wedge trigger ("leave ~1 min
+                            # between TPU process exits and the next launch")
 
 _PROBE_SRC = (
     "import jax, jax.numpy as jnp;"
@@ -85,6 +89,14 @@ def wait_for_tpu(max_wait_s: float = 900.0, *, log=print) -> bool:
             if first:
                 log("tpu transport: relay up, probing", file=sys.stderr)
             if _probe_once():
+                # The probe's process exit must settle before the caller
+                # claims the chip, or the claim itself wedges the lease.
+                log(
+                    f"tpu transport: probe ok; settling {_SETTLE_AFTER_PROBE_S}s "
+                    "before claiming the chip",
+                    file=sys.stderr,
+                )
+                time.sleep(_SETTLE_AFTER_PROBE_S)
                 return True
             log(
                 "tpu transport: probe failed; quiet cool-down "

@@ -200,3 +200,41 @@ class TestStreamDP:
         assert rc == 0
         out = capsys.readouterr().out
         assert '"frames": 4' in out  # 5th frame dropped with a note
+
+
+class TestDomainReleaseResolution:
+    def test_sibling_config_and_style(self, tmp_path, monkeypatch):
+        """checkpoints/rbc_release resolves rbc_config.json and
+        rbc_style_vector.npz — never the flagship's (wrong physics/units)."""
+        import json as _json
+        import types
+
+        from style_transfer_based_holographic_imaging_tpu.cli import (
+            _load_config,
+            _load_style,
+        )
+        from style_transfer_based_holographic_imaging_tpu.config import (
+            DOMAIN_PRESETS,
+            ExperimentConfig,
+        )
+
+        parent = tmp_path / "checkpoints"
+        (parent / "rbc_release").mkdir(parents=True)
+        (parent / "rbc_config.json").write_text(
+            DOMAIN_PRESETS["red_blood_cell"]().to_json()
+        )
+        (parent / "config.json").write_text(ExperimentConfig().to_json())
+        rng = np.random.default_rng(0)
+        np.savez(parent / "rbc_style_vector.npz",
+                 mean=np.full((1, 1, 1, 512), 7.0, np.float32),
+                 std=np.ones((1, 1, 1, 512), np.float32))
+        np.savez(parent / "style_vector.npz",
+                 mean=np.zeros((1, 1, 1, 512), np.float32),
+                 std=np.ones((1, 1, 1, 512), np.float32))
+        args = types.SimpleNamespace(
+            checkpoint=str(parent / "rbc_release"), style_vector=None
+        )
+        cfg = _load_config(args)
+        assert cfg.physics.distance_normalize == 10.0  # domain, not MNIST
+        mean, _ = _load_style(args)
+        assert float(mean[0, 0, 0, 0]) == 7.0  # the domain's vector

@@ -31,6 +31,7 @@ def test_wait_gives_up_fast_when_relay_down(monkeypatch):
 def test_wait_probes_when_port_open(monkeypatch):
     monkeypatch.setenv("JAX_PLATFORMS", "axon")
     monkeypatch.setattr(transport, "_relay_port_open", lambda *a, **k: True)
+    monkeypatch.setattr(transport, "_SETTLE_AFTER_PROBE_S", 0)
     calls = []
     monkeypatch.setattr(transport, "_probe_once", lambda: calls.append(1) or True)
     assert transport.wait_for_tpu(60.0)
