@@ -313,3 +313,23 @@ def test_remat_step_matches_plain(bank, small_params):
         jax.tree_util.tree_leaves(p1["params"]["decoder"]),
     ):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_load_release_params_roundtrip(tmp_path, small_params):
+    """The shared release-restore helper loads a params-only checkpoint
+    (the path every script now goes through)."""
+    import orbax.checkpoint as ocp
+
+    from style_transfer_based_holographic_imaging_tpu.train import (
+        load_release_params,
+    )
+
+    path = str(tmp_path / "release")
+    host = jax.device_get(small_params)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": host})
+    ckptr.wait_until_finished()
+    got = load_release_params(path, image_size=64)
+    a = jax.tree_util.tree_leaves(host)[0]
+    b = jax.tree_util.tree_leaves(got)[0]
+    np.testing.assert_array_equal(a, b)
