@@ -695,16 +695,9 @@ def cmd_stream(args):
             )
             return 1
 
-    batches = ds.batches(args.batch_size, drop_remainder=sharding is not None)
-    if sharding is not None and len(ds) % args.batch_size:
-        print(
-            f"note: dropping the ragged final batch ({len(ds) % args.batch_size} "
-            "frames) — a sharded batch must keep the compiled shape",
-            file=sys.stderr,
-        )
     for out in stream_retrieval(
         params,
-        batches,
+        ds.batches(args.batch_size),
         style,
         cfg,
         style_distance=args.style_distance,

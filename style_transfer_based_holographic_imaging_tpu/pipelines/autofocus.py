@@ -113,6 +113,7 @@ def autofocus(
             wavelength=physics.wavelength,
             pixel_size=physics.pixel_size,
             pad=pad,
+            pad_factor=physics.pad_factor,
             band_limit=physics.band_limit,
             backend="xla",
         )

@@ -94,10 +94,17 @@ class RetrievalService:
         self.params = params
         self._sm = jnp.asarray(style_vector[0])
         self._ss = jnp.asarray(style_vector[1])
-        d_s = (
+        # millimetres -> network units (mm/normalize - const), matching the
+        # training synthesizer — critical for domain configs where
+        # distance_normalize != 1.
+        d_s_mm = (
             self.config.data.style_distances[0]
             if style_distance is None
             else style_distance
+        )
+        d_s = (
+            -self.config.physics.distance_normalize_constant
+            + d_s_mm / self.config.physics.distance_normalize
         )
         self._d_style = jnp.full((self.batch_size, 1, 1, 1), d_s, jnp.float32)
         if self._in_sharding is not None:

@@ -75,12 +75,40 @@ def stream_retrieval(
     )
     sm = jnp.asarray(style_vector[0])
     ss = jnp.asarray(style_vector[1])
-    d_s = (
+    # style_distances / style_distance are millimetres; the network consumes
+    # normalized units (mm/normalize - const) — same conversion as the
+    # training synthesizer (data/synth.py) and domain_eval.
+    d_s_mm = (
         config.data.style_distances[0] if style_distance is None else style_distance
     )
+    d_s = (
+        -config.physics.distance_normalize_constant
+        + d_s_mm / config.physics.distance_normalize
+    )
 
-    for batch in prefetch_to_device(batches, sharding=sharding):
+    # Pad any ragged batch (e.g. the stream's tail) up to the first batch's
+    # size host-side: a new input shape would retrace + recompile the whole
+    # retrieval program for one batch. Outputs are trimmed back after.
+    valid_counts: list[int] = []
+
+    def padded(src):
+        first_b = None
+        for batch in src:
+            b = next(iter(batch.values())).shape[0]
+            if first_b is None:
+                first_b = b
+            if b < first_b:
+                pad = first_b - b
+                batch = {
+                    k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+                    for k, v in batch.items()
+                }
+            valid_counts.append(b)
+            yield batch
+
+    for batch in prefetch_to_device(padded(batches), sharding=sharding):
         holo = batch["holo"]
+        b_valid = valid_counts.pop(0)
         b = holo.shape[0]
         d_style = jnp.full((b, 1, 1, 1), d_s, jnp.float32)
         out = fn(params, holo, sm, ss, d_style)
@@ -100,6 +128,8 @@ def stream_retrieval(
             out = dict(
                 out, amp_foc=refined["amp"], ph_foc=refined["phase"]
             )
+        if b_valid < b:
+            out = {k: v[:b_valid] for k, v in out.items()}
         if stats is not None:
-            stats.n_frames += b
+            stats.n_frames += b_valid
         yield out

@@ -11,6 +11,7 @@ per-sample (mu, sigma) feature statistics.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import numpy as np
@@ -24,22 +25,24 @@ from style_transfer_based_holographic_imaging_tpu.ops.stats import calc_mean_std
 __all__ = ["extract_style_vector", "style_vector_from_holograms", "save_style_vector"]
 
 
+# Jitted once per net configuration — a per-call closure would retrace and
+# recompile the encoder on every one of extract_style_vector's 32 batches.
+@functools.partial(jax.jit, static_argnames=("net",))
+def _batch_stats(params, holos, *, net: StyleTransferNet):
+    feats = net.apply(
+        params, jnp.transpose(holos, (0, 2, 3, 1)), method=StyleTransferNet.encode
+    )
+    m, s = calc_mean_std(feats)
+    return jnp.mean(m, axis=0, keepdims=True), jnp.mean(s, axis=0, keepdims=True)
+
+
 def style_vector_from_holograms(
     params, sqrt_holos: jax.Array, *, net: Optional[StyleTransferNet] = None
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(mean, std) each (1, 1, 1, C): batch-averaged relu4_1 statistics of
     NCHW sqrt-intensity style-plane holograms."""
     net = net or StyleTransferNet()
-
-    @jax.jit
-    def stats(holos):
-        feats = net.apply(
-            params, jnp.transpose(holos, (0, 2, 3, 1)), method=StyleTransferNet.encode
-        )
-        m, s = calc_mean_std(feats)
-        return jnp.mean(m, axis=0, keepdims=True), jnp.mean(s, axis=0, keepdims=True)
-
-    m, s = stats(jnp.asarray(sqrt_holos, jnp.float32))
+    m, s = _batch_stats(params, jnp.asarray(sqrt_holos, jnp.float32), net=net)
     return np.asarray(m), np.asarray(s)
 
 
@@ -58,6 +61,7 @@ def extract_style_vector(
     means, stds = [], []
     base = jax.random.key(seed)
     bank_dev = jnp.asarray(bank, jnp.float32)
+    net = StyleTransferNet(width=config.model.width)
     for i in range(n_batches):
         batch = synth_batch(
             jax.random.fold_in(base, i),
@@ -65,11 +69,7 @@ def extract_style_vector(
             data=config.data,
             physics=config.physics,
         )
-        m, s = style_vector_from_holograms(
-            params,
-            batch["style_holo"],
-            net=StyleTransferNet(width=config.model.width),
-        )
+        m, s = style_vector_from_holograms(params, batch["style_holo"], net=net)
         means.append(m)
         stds.append(s)
     return (

@@ -106,9 +106,11 @@ def generator_loss_fn(
     }
 
     if cfg.physics_weight:
+        # ph_t is in normalized phase units; holo_forward applies
+        # phase_normalize itself (pre-multiplying here would square it).
         l_phy = physics_cycle_loss(
             amp_t,
-            ph_t * physics.phase_normalize,
+            ph_t,
             d_c_pred.reshape(-1, 1, 1, 1),
             batch["distance_style"],
             batch["content_holo"],
@@ -129,14 +131,17 @@ def generator_loss_fn(
         # for synthetic data by propagating the known object to d_style.
         gt_amp, gt_ph = holo_forward(
             batch["amplitude"],
-            batch["phase_content"] * physics.phase_normalize,
+            batch["phase_content"],  # raw — holo_forward applies phase_normalize
             batch["distance_style"],
             physics,
             return_field=True,
             asm_backend="xla",  # mesh-shardable program, see losses.py
         )
         gt_amp = jax.lax.stop_gradient(gt_amp)
-        gt_ph = jax.lax.stop_gradient(gt_ph)
+        # gt_ph is physical radians; the decoder's ph_t lives in normalized
+        # units (retrieval multiplies by phase_normalize at refocus) —
+        # compare in normalized units.
+        gt_ph = jax.lax.stop_gradient(gt_ph) / physics.phase_normalize
         l_sup = jnp.mean((amp_t - gt_amp) ** 2) + jnp.mean((ph_t - gt_ph) ** 2)
         loss = loss + cfg.supervised_weight * l_sup
         aux["loss_supervised"] = l_sup
@@ -328,7 +333,13 @@ def train(
     step_fn = make_train_step(net, physics, cfg, disc=disc, mesh=mesh)
     rng_base = jax.random.key(config.data.seed + 2)
 
-    n_iter = cfg.iterations if iterations is None else iterations
+    if iterations is None:
+        # cfg.iterations is the TOTAL schedule length (the lr schedule is
+        # keyed on the absolute step) — a resumed run finishes the remaining
+        # steps rather than running cfg.iterations more past the schedule.
+        n_iter = max(cfg.iterations - int(state.step), 0)
+    else:
+        n_iter = iterations
     # Track the step count on host: `int(state.step)` would force a blocking
     # device->host sync EVERY iteration, which on the remote (axon) backend
     # serializes each step behind a network round trip (measured ~5x slower).

@@ -69,10 +69,15 @@ def physics_cycle_loss(
     """
     # asm_backend="xla": the train step may be jitted over a device mesh
     # (DP shardings) and a pallas_call cannot be auto-partitioned by GSPMD.
+    # Separation in network units: to_metres adds distance_normalize_constant
+    # ONCE, so the plane separation (d_c+c) - (d_s+c) needs the constant
+    # subtracted from the difference (same algebra as retrieval_step's
+    # refocus; no-op for every shipped config where the constant is 0).
+    d_sep = d_content - d_style - physics.distance_normalize_constant
     amp_prop, _ = holo_forward(
         amp_style,
         phase_style,
-        d_content - d_style,
+        d_sep,
         physics,
         return_field=True,
         asm_backend="xla",

@@ -156,7 +156,15 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
         )
         try:
             restored = ckptr.restore(os.path.abspath(path), full_target)
-        except Exception:  # noqa: BLE001 — snapshot predates disc fields
+        except Exception as e:  # noqa: BLE001 — snapshot predates disc fields
+            import sys
+
+            print(
+                f"warning: full (discriminator-bearing) restore of {path} "
+                f"failed ({type(e).__name__}: {e}); falling back to the base "
+                "target — the discriminator restarts from its current init",
+                file=sys.stderr,
+            )
             restored = None
     if restored is None:
         restored = ckptr.restore(os.path.abspath(path), base_target)

@@ -168,8 +168,8 @@ class TestDoctorCommand:
 
 class TestStreamDP:
     def test_stream_devices_flag(self, tmp_path, capsys):
-        """--devices 2: batch-DP streaming over the virtual CPU mesh, ragged
-        tail dropped to keep the compiled shape."""
+        """--devices 2: batch-DP streaming over the virtual CPU mesh; the
+        ragged tail is padded to the compiled shape and trimmed back."""
         root = tmp_path / "red_blood_cell"
         holo_dir = root / "test" / "holography" / "6.0"
         os.makedirs(holo_dir)
@@ -199,7 +199,7 @@ class TestStreamDP:
         )
         assert rc == 0
         out = capsys.readouterr().out
-        assert '"frames": 4' in out  # 5th frame dropped with a note
+        assert '"frames": 5' in out  # ragged tail padded + trimmed, not dropped
 
 
 class TestDomainReleaseResolution:

@@ -126,3 +126,75 @@ class TestStylize:
         np.testing.assert_allclose(
             np.asarray(out0["amp"]), np.asarray(outc["amp"]), rtol=1e-4, atol=1e-5
         )
+
+
+def test_stream_converts_style_distance_to_network_units():
+    """stream_retrieval takes style distances in mm and must divide by
+    distance_normalize (the domain presets use 10/25 — passing mm straight
+    through refocused RBC frames at 60 mm instead of 6)."""
+    import jax.numpy as jnp
+
+    from style_transfer_based_holographic_imaging_tpu.config import (
+        DataConfig,
+        ModelConfig,
+        PhysicsConfig,
+    )
+    from style_transfer_based_holographic_imaging_tpu.pipelines.streaming import (
+        stream_retrieval,
+    )
+
+    cfg = ExperimentConfig(
+        physics=PhysicsConfig(distance_normalize=10.0),
+        model=ModelConfig(image_size=32),
+        data=DataConfig(image_size=32, style_distances=(6.0,)),
+    )
+    small = init_net_params(jax.random.key(0), image_size=32)
+    rng = np.random.default_rng(0)
+    holo = (rng.random((2, 1, 32, 32)) * 0.6 + 0.05).astype(np.float32)
+    sm = rng.random((1, 1, 1, 512)).astype(np.float32)
+    ss = (rng.random((1, 1, 1, 512)) + 0.5).astype(np.float32)
+
+    got = next(iter(stream_retrieval(small, [{"holo": holo}], (sm, ss), cfg)))
+
+    fn = make_retrieval_fn(cfg.physics)
+    want = fn(
+        small,
+        jnp.asarray(holo),
+        jnp.asarray(sm),
+        jnp.asarray(ss),
+        jnp.full((2, 1, 1, 1), 0.6, jnp.float32),  # 6.0 mm / 10
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["amp_foc"]), np.asarray(want["amp_foc"]), atol=1e-5
+    )
+
+
+def test_stream_pads_ragged_tail_single_program():
+    """A ragged final batch must not retrace: it is padded to the compiled
+    shape and trimmed back in the yielded outputs."""
+    from style_transfer_based_holographic_imaging_tpu.config import (
+        DataConfig,
+        ModelConfig,
+    )
+    from style_transfer_based_holographic_imaging_tpu.pipelines.streaming import (
+        StreamStats,
+        stream_retrieval,
+    )
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(image_size=32), data=DataConfig(image_size=32)
+    )
+    small = init_net_params(jax.random.key(0), image_size=32)
+    rng = np.random.default_rng(0)
+    sm = rng.random((1, 1, 1, 512)).astype(np.float32)
+    ss = (rng.random((1, 1, 1, 512)) + 0.5).astype(np.float32)
+    mk = lambda b: {
+        "holo": (rng.random((b, 1, 32, 32)) * 0.6 + 0.05).astype(np.float32)
+    }
+    stats = StreamStats()
+    outs = list(
+        stream_retrieval(small, [mk(4), mk(3)], (sm, ss), cfg, stats=stats)
+    )
+    assert outs[0]["amp_foc"].shape[0] == 4
+    assert outs[1]["amp_foc"].shape[0] == 3  # trimmed, not padded or dropped
+    assert stats.n_frames == 7
