@@ -919,7 +919,8 @@ def main(argv=None):
                    help="generic|polystyrene|tissue|red_blood_cell")
     p.add_argument("--image-set", type=str, default="test")
     p.add_argument("--distances", type=str, default=None, help="comma list, mm")
-    p.add_argument("--style-distance", type=float, default=None)
+    p.add_argument("--style-distance", type=float, default=None,
+                   help="style-plane distance in mm (default: the domain config's)")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--refine", type=int, default=0, metavar="STEPS",
                    help="physics-consistent refinement steps per frame batch")
