@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["psnr", "mae", "r2_score"]
+__all__ = ["psnr", "mae", "r2_score", "zero_mean", "distances_to_um"]
 
 
 def psnr(pred: jax.Array, target: jax.Array, data_range: float | None = None) -> jax.Array:
@@ -39,3 +39,17 @@ def r2_score(y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
     ss_res = jnp.sum((y_true - y_pred) ** 2)
     ss_tot = jnp.sum((y_true - jnp.mean(y_true)) ** 2)
     return 1.0 - ss_res / ss_tot
+
+
+def zero_mean(x: jax.Array) -> jax.Array:
+    """Remove the per-image spatial mean (phase comparisons are defined up to
+    a global offset — the reference's harness does the same implicitly via
+    its normalized plots)."""
+    return x - jnp.mean(x, axis=(-2, -1), keepdims=True)
+
+
+def distances_to_um(d, physics):
+    """Network-unit distances -> micrometres
+    ((d + const) * normalize mm * 1000, test_field_retrieval_mnist.py:147).
+    Works on numpy or jax arrays."""
+    return (d + physics.distance_normalize_constant) * physics.distance_normalize * 1000.0

@@ -30,8 +30,10 @@ from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval impo
 __all__ = ["evaluate_synth_domain"]
 
 
-def _zero_mean(x: jax.Array) -> jax.Array:
-    return x - jnp.mean(x, axis=(-2, -1), keepdims=True)
+from style_transfer_based_holographic_imaging_tpu.eval.metrics import (
+    distances_to_um,
+    zero_mean as _zero_mean,
+)
 
 
 def evaluate_synth_domain(
@@ -122,11 +124,7 @@ def evaluate_synth_domain(
 
     d_true = np.concatenate(d_true_all)
     d_pred = np.concatenate(d_pred_all)
-    um = (
-        (np.stack([d_true, d_pred], axis=1) + physics.distance_normalize_constant)
-        * physics.distance_normalize
-        * 1000.0
-    )
+    um = distances_to_um(np.stack([d_true, d_pred], axis=1), physics)
     return {
         "mean_psnr": float(np.mean(psnr_list)),
         "mean_mae": float(np.mean(mae_list)),

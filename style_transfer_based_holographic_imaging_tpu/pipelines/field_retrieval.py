@@ -37,9 +37,11 @@ from style_transfer_based_holographic_imaging_tpu.eval.metrics import psnr, mae
 __all__ = ["retrieval_step", "make_retrieval_fn", "evaluate_golden_suite"]
 
 
-def _zero_mean(x: jax.Array) -> jax.Array:
-    """Subtract each sample's spatial mean (test_field_retrieval_mnist.py:128-130)."""
-    return x - jnp.mean(x, axis=(-2, -1), keepdims=True)
+from style_transfer_based_holographic_imaging_tpu.eval import metrics as metrics_mod
+from style_transfer_based_holographic_imaging_tpu.eval.metrics import (
+    zero_mean as _zero_mean,
+)
+
 
 
 def retrieval_step(
@@ -281,12 +283,7 @@ def evaluate_golden_suite(
         )
     ]
     pairs = np.asarray(distance_pairs, np.float64)
-    # distances to micrometres (test_field_retrieval_mnist.py:147)
-    um = (
-        (pairs + physics.distance_normalize_constant)
-        * physics.distance_normalize
-        * 1000.0
-    )
+    um = metrics_mod.distances_to_um(pairs, physics)
     metrics = {
         "mean_psnr": float(np.mean(psnr_list)),
         "mean_mae": float(np.mean(mae_list)),
