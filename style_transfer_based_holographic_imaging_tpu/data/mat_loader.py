@@ -20,8 +20,10 @@ Differences from the reference, by design:
 * missing ground truth yields ``None`` (the reference substitutes all-ones
   arrays via a bare ``except``, Data_loader.py:156-159 — we surface the
   absence instead and let the caller decide);
-* batching returns padded, device-ready numpy stacks for the streaming
-  pipeline (see data/prefetch.py), not per-item torch tensors.
+* batching returns device-ready numpy stacks for the streaming pipeline
+  (see data/prefetch.py), not per-item torch tensors; a ragged final batch
+  keeps its smaller size here — pipelines/streaming.py pads it to the
+  compiled shape.
 """
 
 from __future__ import annotations

@@ -37,27 +37,51 @@ def prefetch_to_device(
     """
     q: "queue.Queue[Any]" = queue.Queue(maxsize=buffer_size)
     err: list[BaseException] = []
+    stop = threading.Event()
 
     def put(x):
         if sharding is not None:
             return jax.device_put(x, sharding)
         return jax.device_put(x)
 
+    def q_put(item) -> bool:
+        # Bounded put that gives up when the consumer abandoned the
+        # iterator — a plain q.put() would block this thread forever and pin
+        # the staged HBM batches it holds.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for batch in batches:
-                q.put(jax.tree.map(put, batch))
+                if not q_put(jax.tree.map(put, batch)):
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised on the consumer side
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            q_put(_SENTINEL)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # Consumer exited (break / exception / GC): release the producer and
+        # drop any staged batches so their HBM buffers free promptly.
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -149,9 +149,13 @@ def synth_batch(
     pad_cfg = ((0, 0), (pad, pad), (pad, pad))
     phase_s = jnp.pad(digits_s, pad_cfg)
     phase_c = jnp.pad(digits_c, pad_cfg)
-    if data.flip:
-        phase_s = jax.vmap(_augment)(phase_s, flips[0], shifts[0])
-        phase_c = jax.vmap(_augment)(phase_c, flips[1], shifts[1])
+    # flip and translate are independent knobs: data.flip gates ONLY the
+    # mirror augmentation; translation is governed by translate_frac (which
+    # sizes max_shift — 0 disables it).
+    if not data.flip:
+        flips = jnp.zeros_like(flips)
+    phase_s = jax.vmap(_augment)(phase_s, flips[0], shifts[0])
+    phase_c = jax.vmap(_augment)(phase_c, flips[1], shifts[1])
 
     phase_s = phase_s[:, None]  # (B, 1, S, S)
     phase_c = phase_c[:, None]

@@ -176,8 +176,10 @@ def packed_deconv(
     return y + pack_bias(bias).astype(dt)
 
 
-def _quantize(x: jax.Array, scale: jax.Array) -> jax.Array:
-    return jnp.clip(jnp.round(x * scale), -127.0, 127.0).astype(jnp.int8)
+# one symmetric-int8 quantizer for the whole repo — semantics must match the
+# serving path exactly (the module contract: "int8 variants mirror
+# models/quant.py")
+from style_transfer_based_holographic_imaging_tpu.models.quant import _quantize
 
 
 def packed_reflect_conv(

@@ -53,9 +53,14 @@ def border_lines_einsum(x: jax.Array, kernel: jax.Array) -> tuple[jax.Array, jax
     dt = x.dtype
 
     def contract(strip, kd):
-        # strip: (B, 2, L+2, C) reflect-padded along L; kd: (3, C, O)
+        # strip: (B, 2, L+2, C) reflect-padded along L; kd: (3, C, O).
+        # Accumulate fp32 like lax.conv does for the interior (a bf16
+        # accumulator would give the 1-pixel ring visibly lower precision
+        # than the SAME-conv interior), cast back at the end.
         win = jnp.stack([strip[:, :, j : j + strip.shape[2] - 2] for j in range(3)], axis=2)
-        return jnp.einsum("bsjlc,jco->bslo", win, kd, preferred_element_type=dt)
+        return jnp.einsum(
+            "bsjlc,jco->bslo", win, kd, preferred_element_type=jnp.float32
+        )
 
     k_sym = kernel[0] + kernel[2]  # weight of the reflected neighbour line
     k_mid = kernel[1]
@@ -63,14 +68,14 @@ def border_lines_einsum(x: jax.Array, kernel: jax.Array) -> tuple[jax.Array, jax
     near_r = jnp.stack([x[:, 1], x[:, h - 2]], axis=1)  # (B, 2, W, C)
     edge_r = jnp.stack([x[:, 0], x[:, h - 1]], axis=1)
     pad_r = lambda t: jnp.pad(t, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
-    rows = contract(pad_r(near_r), k_sym) + contract(pad_r(edge_r), k_mid)
+    rows = (contract(pad_r(near_r), k_sym) + contract(pad_r(edge_r), k_mid)).astype(dt)
 
     near_c = jnp.stack([x[:, :, 1], x[:, :, w - 2]], axis=1)  # (B, 2, H, C)
     edge_c = jnp.stack([x[:, :, 0], x[:, :, w - 1]], axis=1)
     # column taps contract against kernel columns: K^T relative to rows
     kt_sym = kernel[:, 0] + kernel[:, 2]
     kt_mid = kernel[:, 1]
-    cols_t = contract(pad_r(near_c), kt_sym) + contract(pad_r(edge_c), kt_mid)
+    cols_t = (contract(pad_r(near_c), kt_sym) + contract(pad_r(edge_c), kt_mid)).astype(dt)
     return rows, jnp.transpose(cols_t, (0, 2, 1, 3))  # (B, H, 2, O)
 
 

@@ -60,7 +60,7 @@ class CBR(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         common = dict(
             features=self.features,
             kernel_size=(self.kernel, self.kernel),
@@ -88,8 +88,11 @@ class CBR(nn.Module):
                 name="norm",
             )(x)
         elif self.norm == "batch":
+            # train=True collects batch statistics (caller passes
+            # mutable=['batch_stats']); eval uses the running averages —
+            # torch BatchNorm2d semantics, not a frozen affine no-op.
             x = nn.BatchNorm(
-                use_running_average=True,
+                use_running_average=not train,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name="norm",
@@ -110,7 +113,7 @@ class HoloEncoder(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> Tuple[jax.Array, Sequence[jax.Array]]:
+    def __call__(self, x: jax.Array, *, train: bool = False) -> Tuple[jax.Array, Sequence[jax.Array]]:
         taps = []
         widths = [self.base * (2**i) for i in range(5)]  # 64..1024
         for i, w in enumerate(widths):
@@ -118,9 +121,9 @@ class HoloEncoder(nn.Module):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             k = 7 if i == 0 else 3
             x = CBR(w, kernel=k, norm=self.norm, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name=f"l{i+1}0")(x)
+                    param_dtype=self.param_dtype, name=f"l{i+1}0")(x, train=train)
             x = CBR(w, kernel=3, norm=self.norm, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name=f"l{i+1}1")(x)
+                    param_dtype=self.param_dtype, name=f"l{i+1}1")(x, train=train)
             if i < 4:
                 taps.append(x)
         return x, taps  # latent (H/16, 1024) + [l1..l4]
@@ -139,7 +142,7 @@ class HoloDecoder(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, latent: jax.Array, taps: Sequence[jax.Array]) -> jax.Array:
+    def __call__(self, latent: jax.Array, taps: Sequence[jax.Array], *, train: bool = False) -> jax.Array:
         x = latent
         widths = [self.base * (2**i) for i in range(4)][::-1]  # 512..64
         for i, w in enumerate(widths):
@@ -148,9 +151,9 @@ class HoloDecoder(nn.Module):
             if self.skip:
                 x = jnp.concatenate([x, taps[-(i + 1)]], axis=-1)
             x = CBR(w, kernel=3, norm=self.norm, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name=f"up{i+1}0")(x)
+                    param_dtype=self.param_dtype, name=f"up{i+1}0")(x, train=train)
             x = CBR(w, kernel=3, norm=self.norm, dtype=self.dtype,
-                    param_dtype=self.param_dtype, name=f"up{i+1}1")(x)
+                    param_dtype=self.param_dtype, name=f"up{i+1}1")(x, train=train)
         return nn.Conv(
             self.out_channels, (1, 1), dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv_out",
@@ -167,15 +170,18 @@ class HoloAutoEncoder(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
+    norm: str = "instance"
+
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         latent, taps = HoloEncoder(
-            dtype=self.dtype, param_dtype=self.param_dtype, name="encoder"
-        )(x)
+            norm=self.norm,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="encoder",
+        )(x, train=train)
         return HoloDecoder(
-            out_channels=self.out_channels, skip=self.skip,
+            out_channels=self.out_channels, skip=self.skip, norm=self.norm,
             dtype=self.dtype, param_dtype=self.param_dtype, name="decoder",
-        )(latent, taps)
+        )(latent, taps, train=train)
 
 
 class ECALayer(nn.Module):

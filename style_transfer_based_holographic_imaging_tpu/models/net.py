@@ -41,7 +41,8 @@ __all__ = ["StyleTransferNet", "split_style_vector", "init_net_params"]
 
 
 def init_net_params(key, image_size: int = 128, **net_kwargs):
-    """Initialize a full parameter pytree (all heads created)."""
+    """Initialize a full parameter pytree (every head the configured
+    net uses — incl. decoder_ph when with_phase_decoder=True)."""
     net = StyleTransferNet(**net_kwargs)
     dummy = jnp.ones((1, image_size, image_size, 1), jnp.float32)
     return net.init(key, dummy, dummy, field_retrieval=True, unknown_distance=True)
@@ -125,6 +126,12 @@ class StyleTransferNet(nn.Module):
 
         g = self.decoder(t)
         amp, phase = g[..., 0:1], g[..., 1:2]
+        if self.with_phase_decoder:
+            # The reference constructs and loads decoder_ph but its call is
+            # commented out (net.py:249-252) — enabling the flag here
+            # re-enables that branch (phase from the dedicated decoder), and
+            # also makes init/materialization of its params real.
+            phase = self.decoder_ph(t)[..., 0:1]
 
         if unknown_distance:
             d = self.distance_g(calc_mean_std(content_feat))
@@ -156,6 +163,8 @@ class StyleTransferNet(nn.Module):
         style_re = self.decoder(style_feats[-1])[..., 0:1]
         g = self.decoder(t)
         g_t, g_t_phase = g[..., 0:1], g[..., 1:2]
+        if self.with_phase_decoder:
+            g_t_phase = self.decoder_ph(t)[..., 0:1]  # see field_retrieval
         g_t_feats = self.encode_with_intermediate(g_t)
 
         loss_c = jnp.mean((g_t_feats[-1] - jax.lax.stop_gradient(t)) ** 2)

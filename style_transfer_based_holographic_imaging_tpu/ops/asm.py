@@ -46,7 +46,12 @@ __all__ = [
 # (forced). Settable via env or set_asm_backend(). The Pallas kernel measures
 # ~17% faster than the XLA composition on a v5e (7.6 vs 9.0 ms per 256-batch
 # 128^2 propagate) at 1e-6 parity.
-_BACKEND = os.environ.get("STHI_ASM_BACKEND", "auto")
+_BACKEND = os.environ.get("STHI_ASM_BACKEND", "auto").lower()
+if _BACKEND not in ("xla", "pallas", "auto"):
+    raise ValueError(
+        f"STHI_ASM_BACKEND={_BACKEND!r} is not one of 'xla'|'pallas'|'auto'"
+    )
+_WARNED_FALLBACK = False
 
 
 def set_asm_backend(name: str) -> None:
@@ -157,6 +162,7 @@ def propagate(
     # Per-call override first (e.g. the training step forces "xla": a
     # pallas_call cannot be auto-partitioned by GSPMD, so mesh-sharded jit
     # programs must stay on the XLA composition), else the module global.
+    explicit = backend is not None
     backend = backend or _BACKEND
     eligible = (
         pad
@@ -169,6 +175,25 @@ def propagate(
     if backend == "auto":
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         backend = "pallas" if (eligible and on_tpu) else "xla"
+    elif backend == "pallas" and not eligible:
+        reason = (
+            "backend='pallas' requires pad=True, pad_factor=2, "
+            "band_limit=False and even H/W >= 16 "
+            f"(got pad={pad}, pad_factor={pad_factor}, band_limit={band_limit}, "
+            f"shape {h}x{w})"
+        )
+        if explicit:
+            # A per-call forced pallas backend must not silently degrade to
+            # XLA — that turns backend comparisons into XLA-vs-XLA.
+            raise ValueError(reason + "; use backend='auto' for best-effort")
+        # The global setting is a preference: fall back, but say so once.
+        global _WARNED_FALLBACK
+        if not _WARNED_FALLBACK:
+            import sys
+
+            print(f"asm: global pallas backend ineligible here — using xla "
+                  f"({reason})", file=sys.stderr)
+            _WARNED_FALLBACK = True
     if backend == "pallas" and eligible:
         from style_transfer_based_holographic_imaging_tpu.kernels.asm_pallas import (
             propagate_pallas,

@@ -69,3 +69,23 @@ class TestTrivialSolutionNet:
         assert dist.shape == (2, 1)
         d = np.asarray(dist)
         assert np.all((d > 0) & (d < 1))  # sigmoid head
+
+
+def test_cbr_batchnorm_trains_statistics(rng):
+    """norm='batch' must collect batch statistics in train mode (it was a
+    frozen running-average affine no-op before)."""
+    import flax
+
+    from style_transfer_based_holographic_imaging_tpu.models.ablations import CBR
+
+    m = CBR(8, norm="batch")
+    x = jnp.asarray(rng.random((2, 8, 8, 4)).astype(np.float32) * 3 + 5)
+    variables = m.init(jax.random.key(0), x, train=True)
+    assert "batch_stats" in variables
+    y, mutated = m.apply(variables, x, train=True, mutable=["batch_stats"])
+    new_mean = jax.tree_util.tree_leaves(mutated["batch_stats"])[0]
+    old_mean = jax.tree_util.tree_leaves(variables["batch_stats"])[0]
+    assert not np.allclose(np.asarray(new_mean), np.asarray(old_mean))
+    # eval mode uses running stats, no mutation needed
+    y_eval = m.apply(variables, x, train=False)
+    assert y_eval.shape == y.shape

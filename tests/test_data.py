@@ -328,3 +328,27 @@ class TestSyntheticDomainBanks:
                           data=data, physics=physics)
         assert out["content_holo"].shape == (4, 1, 32, 32)
         assert np.isfinite(np.asarray(out["content_holo"])).all()
+
+
+def test_prefetch_releases_producer_on_early_exit():
+    """Abandoning the prefetch iterator must not leave the producer thread
+    blocked on the bounded queue (pinning staged HBM batches)."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from style_transfer_based_holographic_imaging_tpu.data.prefetch import (
+        prefetch_to_device,
+    )
+
+    n_before = threading.active_count()
+    src = ({"x": np.full((4,), i, np.float32)} for i in range(100))
+    it = prefetch_to_device(src, buffer_size=2)
+    first = next(it)
+    assert float(first["x"][0]) == 0.0
+    it.close()  # consumer walks away after one batch
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before

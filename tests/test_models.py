@@ -533,3 +533,25 @@ class TestVggFiveTaps:
             assert jax.tree.map(lambda a: a.shape, v) == jax.tree.map(
                 lambda a: a.shape, p5[name]
             )
+
+
+def test_with_phase_decoder_materializes_and_runs(rng):
+    """with_phase_decoder=True must create decoder_ph params and route the
+    phase through it (the reference's commented-out branch, net.py:249-252)."""
+    from style_transfer_based_holographic_imaging_tpu.models.net import (
+        StyleTransferNet,
+        init_net_params,
+    )
+
+    variables = init_net_params(
+        jax.random.key(0), image_size=32, with_phase_decoder=True
+    )
+    assert "decoder_ph" in variables["params"]
+    net = StyleTransferNet(with_phase_decoder=True)
+    holo = jnp.asarray(rng.random((1, 32, 32, 1)).astype(np.float32))
+    sm = jnp.asarray(rng.random((1, 1, 1, 512)).astype(np.float32))
+    ss = jnp.asarray((rng.random((1, 1, 1, 512)) + 0.5).astype(np.float32))
+    amp, phase = net.apply(
+        variables, holo, sm, ss, method=StyleTransferNet.field_retrieval
+    )
+    assert amp.shape == phase.shape == (1, 32, 32, 1)
