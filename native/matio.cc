@@ -26,6 +26,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <vector>
 
@@ -115,9 +116,12 @@ size_t type_size(uint32_t type) {
 }
 
 // Parse one miMATRIX payload; fill dims and (optionally) out row-major.
+// On a dims query (out == NULL) the converted data is also written into
+// *cache when possible, so the caller can serve the subsequent fill call
+// without re-reading and re-inflating the file.
 // Returns 0 on name mismatch, 1 on match, negative on parse error.
 int parse_matrix(const Slice& body, const char* want, double* out,
-                 int64_t* rows, int64_t* cols) {
+                 int64_t* rows, int64_t* cols, std::vector<double>* cache) {
   size_t off = 0;
   Element flags, dims, name;
   if (!read_element(body, off, &flags) || flags.type != miUINT32 ||
@@ -146,6 +150,18 @@ int parse_matrix(const Slice& body, const char* want, double* out,
   if (out == nullptr) {
     *rows = d0;
     *cols = d1;
+    if (cache != nullptr && !is_complex) {
+      size_t off2 = off;
+      Element real;
+      size_t n = static_cast<size_t>(d0) * static_cast<size_t>(d1);
+      if (read_element(body, off2, &real) &&
+          real.data.n >= n * type_size(real.type)) {
+        cache->resize(n);
+        for (int64_t c = 0; c < d1; ++c)
+          for (int64_t r = 0; r < d0; ++r)
+            (*cache)[r * d1 + c] = convert_at(real.data, real.type, c * d0 + r);
+      }
+    }
     return 1;  // dims query
   }
   // Fill phase: *rows/*cols carry the caller's buffer dimensions (from the
@@ -187,6 +203,11 @@ int inflate_all(const Slice& in, std::vector<uint8_t>* out) {
   return 0;
 }
 
+std::mutex g_cache_mu;
+std::string g_cache_path, g_cache_var;
+int64_t g_cache_r = 0, g_cache_c = 0;
+std::vector<double> g_cache_data;
+
 }  // namespace
 
 extern "C" {
@@ -200,6 +221,20 @@ extern "C" {
 // Errors: -1 io, -2 not a v5 MAT, -3 variable not found, < -9 parse error.
 int mat_read2d(const char* path, const char* var, double* out,
                int64_t* rows, int64_t* cols) {
+  if (out != nullptr) {
+    // Serve the fill phase from the dims-query cache when it matches —
+    // avoids reading and re-inflating the whole file a second time.
+    std::lock_guard<std::mutex> lk(g_cache_mu);
+    if (g_cache_path == path && g_cache_var == var && g_cache_r == *rows &&
+        g_cache_c == *cols &&
+        g_cache_data.size() ==
+            static_cast<size_t>(g_cache_r) * static_cast<size_t>(g_cache_c) &&
+        !g_cache_data.empty()) {
+      std::memcpy(out, g_cache_data.data(), g_cache_data.size() * sizeof(double));
+      g_cache_path.clear();  // one-shot: a rewritten file must be re-parsed
+      return 0;
+    }
+  }
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   std::fseek(f, 0, SEEK_END);
@@ -221,8 +256,18 @@ int mat_read2d(const char* path, const char* var, double* out,
     Element el;
     if (!read_element(s, off, &el)) break;
     if (el.type == miMATRIX) {
-      int r = parse_matrix({el.data.p, el.data.n}, var, out, rows, cols);
-      if (r == 1) return 0;
+      std::vector<double> cached;
+      int r = parse_matrix({el.data.p, el.data.n}, var, out, rows, cols,
+                           out == nullptr ? &cached : nullptr);
+      if (r == 1) {
+        if (out == nullptr && !cached.empty()) {
+          std::lock_guard<std::mutex> lk(g_cache_mu);
+          g_cache_path = path; g_cache_var = var;
+          g_cache_r = *rows; g_cache_c = *cols;
+          g_cache_data = std::move(cached);
+        }
+        return 0;
+      }
       if (r < 0) return r;
     } else if (el.type == miCOMPRESSED) {
       std::vector<uint8_t> raw;
@@ -230,8 +275,18 @@ int mat_read2d(const char* path, const char* var, double* out,
         Element inner;
         Slice rs{raw.data(), raw.size()};
         if (read_element(rs, 0, &inner) && inner.type == miMATRIX) {
-          int r = parse_matrix({inner.data.p, inner.data.n}, var, out, rows, cols);
-          if (r == 1) return 0;
+          std::vector<double> cached;
+          int r = parse_matrix({inner.data.p, inner.data.n}, var, out, rows,
+                               cols, out == nullptr ? &cached : nullptr);
+          if (r == 1) {
+            if (out == nullptr && !cached.empty()) {
+              std::lock_guard<std::mutex> lk(g_cache_mu);
+              g_cache_path = path; g_cache_var = var;
+              g_cache_r = *rows; g_cache_c = *cols;
+              g_cache_data = std::move(cached);
+            }
+            return 0;
+          }
           if (r < 0) return r;
         }
       }

@@ -40,8 +40,7 @@ struct Edge {
 // Union-find with per-group 2*pi-multiple offsets applied lazily.
 struct Groups {
   std::vector<int32_t> parent;
-  std::vector<int32_t> rank_;
-  explicit Groups(int n) : parent(n), rank_(n, 0) {
+  explicit Groups(int n) : parent(n) {
     for (int i = 0; i < n; ++i) parent[i] = i;
   }
   int32_t find(int32_t x) {
@@ -122,9 +121,9 @@ int unwrap2d(const float* phase, int h, int w, float* out) {
     if (shift != 0.0) {
       for (int32_t idx : members[rb]) ph[idx] += shift;
     }
-    // union rb into ra
+    // union rb into ra (the earlier sz-based swap already guarantees
+    // sz[ra] >= sz[rb], i.e. ra is the larger group)
     g.parent[rb] = ra;
-    if (members[ra].size() < members[rb].size()) members[ra].swap(members[rb]);
     members[ra].insert(members[ra].end(), members[rb].begin(), members[rb].end());
     members[rb].clear();
     members[rb].shrink_to_fit();

@@ -38,7 +38,13 @@ def r2_score(y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
     y_pred = jnp.asarray(y_pred, jnp.float32).reshape(-1)
     ss_res = jnp.sum((y_true - y_pred) ** 2)
     ss_tot = jnp.sum((y_true - jnp.mean(y_true)) ** 2)
-    return 1.0 - ss_res / ss_tot
+    # sklearn semantics for a constant target: perfect prediction -> 1.0,
+    # anything else -> 0.0 (never nan/-inf).
+    return jnp.where(
+        ss_tot > 0.0,
+        1.0 - ss_res / jnp.where(ss_tot > 0.0, ss_tot, 1.0),
+        jnp.where(ss_res > 0.0, 0.0, 1.0),
+    )
 
 
 def zero_mean(x: jax.Array) -> jax.Array:

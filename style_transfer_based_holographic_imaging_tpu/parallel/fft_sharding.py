@@ -56,6 +56,7 @@ def sharded_propagate(
     wavelength: float,
     pixel_size: float,
     pad: bool = True,
+    band_limit: bool = False,
     axis: str = "data",
 ) -> jax.Array:
     """Angular-spectrum propagation of a row-sharded complex field.
@@ -65,6 +66,9 @@ def sharded_propagate(
         sharded over ``mesh[axis]``. The *padded* height ``2H`` (or ``H``
         when ``pad=False``) must be divisible by the mesh axis size.
       distance: metres, scalar or ``(B, 1, 1, 1)`` (replicated).
+      band_limit: Matsushima–Shimobaba band-limited transfer function (the
+        domain presets set ``PhysicsConfig.band_limit=True`` — mm-range
+        distances alias without it); same mask as ``ops.asm.propagate``.
 
     Returns the propagated field with the input's sharding layout.
     """
@@ -86,25 +90,44 @@ def sharded_propagate(
     d = jnp.broadcast_to(
         jnp.asarray(distance, jnp.float32), field.shape[:-2] + (1, 1)
     )
+    # |fftfreq| vectors for the band-limit mask: fy replicated (the spectrum
+    # inside _local holds full rows), fx sharded like the kz columns.
+    fy = jnp.abs(jnp.fft.fftfreq(ph, d=pixel_size).astype(jnp.float32))
+    fx = jnp.abs(jnp.fft.fftfreq(pw, d=pixel_size).astype(jnp.float32))
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(None, None, axis, None), P(), P(None, axis)),
+        in_specs=(P(None, None, axis, None), P(), P(None, axis), P(), P(axis)),
         out_specs=P(None, None, axis, None),
     )
-    def _local(x, d_loc, kz_cols):
+    def _local(x, d_loc, kz_cols, fy_full, fx_cols):
         # x: (B, C, PH/n, PW) rows shard; kz_cols: (PH, PW/n) column shard.
         y = jnp.fft.fft(x, axis=-1)
         z = jax.lax.all_to_all(y, axis, split_axis=3, concat_axis=2, tiled=True)
         s = jnp.fft.fft(z, axis=-2)  # (B, C, PH, PW/n): full spectrum cols-shard
         phase = d_loc * kz_cols
-        s = s * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+        transfer = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+        if band_limit:
+            # Matsushima & Shimobaba 2009 — identical mask to _propagate_xla,
+            # evaluated on this device's column shard.
+            d_abs = jnp.abs(d_loc)
+            fy_lim = 1.0 / (
+                wavelength
+                * jnp.sqrt((2.0 * d_abs / jnp.float32(ph * pixel_size)) ** 2 + 1.0)
+            )
+            fx_lim = 1.0 / (
+                wavelength
+                * jnp.sqrt((2.0 * d_abs / jnp.float32(pw * pixel_size)) ** 2 + 1.0)
+            )
+            mask = (fy_full[:, None] <= fy_lim) & (fx_cols[None, :] <= fx_lim)
+            transfer = transfer * mask.astype(transfer.dtype)
+        s = s * transfer
         v = jnp.fft.ifft(s, axis=-2)
         v = jax.lax.all_to_all(v, axis, split_axis=2, concat_axis=3, tiled=True)
         return jnp.fft.ifft(v, axis=-1)
 
-    out = _local(field, d, kz)
+    out = _local(field, d, kz, fy, fx)
 
     g_phase = d * jnp.float32(2.0 * math.pi / wavelength)
     out = out * jax.lax.complex(jnp.cos(g_phase), jnp.sin(g_phase))

@@ -48,6 +48,11 @@ def make_mesh(
     """
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} devices are available"
+            )
         devs = devs[:n_devices]
     if shape is None:
         shape = (len(devs),) if len(axis_names) == 1 else None
@@ -69,6 +74,10 @@ def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS, ndim: int = 4) -> NamedSha
 def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
     """Device-put a pytree of batch-major arrays with the batch axis sharded."""
     def put(x):
+        if np.ndim(x) == 0:
+            # scalar leaves (loss weights, flags) replicate — P('data') on a
+            # rank-0 value is a sharding-rank error.
+            return jax.device_put(x, replicated(mesh))
         return jax.device_put(x, batch_sharding(mesh, axis, np.ndim(x)))
 
     return jax.tree.map(put, batch)

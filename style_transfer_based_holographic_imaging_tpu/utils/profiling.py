@@ -58,7 +58,8 @@ def timeit(
     Returns {'sec_per_call', 'calls_per_sec'} with compile excluded and every
     timing window fenced by a device round-trip.
     """
-    for _ in range(warmup):
+    out = fn(*args)  # always compile/warm at least once
+    for _ in range(max(warmup - 1, 0)):
         out = fn(*args)
     _fence(out)
 
@@ -69,6 +70,11 @@ def timeit(
         for _ in range(iters):
             out = fn(*args)
             leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
+            if not leaves:
+                raise ValueError(
+                    "timeit requires fn to return at least one array leaf "
+                    "(needed to fence each iteration with a device read)"
+                )
             s = jnp.sum(jnp.abs(leaves[0]).astype(jnp.float32))
             acc = s if acc is None else acc + s
         float(jax.device_get(acc))

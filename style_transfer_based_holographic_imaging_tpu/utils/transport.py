@@ -72,7 +72,7 @@ def tpu_transport_ready() -> bool:
     return _relay_port_open()
 
 
-def wait_for_tpu(max_wait_s: float = 900.0, *, log=print) -> bool:
+def wait_for_tpu(max_wait_s: float = 900.0, *, log=None) -> bool:
     """Block until the remote TPU transport answers a probe (or give up).
 
     Returns True when a probe matmul succeeded (or the backend is local).
@@ -80,6 +80,8 @@ def wait_for_tpu(max_wait_s: float = 900.0, *, log=print) -> bool:
     port is open it runs at most one probe per ``_QUIET_AFTER_FAILED_PROBE_S``
     window so a wedged lease is not kept wedged by the probes themselves.
     """
+    if log is None:
+        log = lambda m: print(m, file=sys.stderr)  # noqa: E731
     if not _is_axon():
         return True
     deadline = time.monotonic() + max_wait_s
@@ -87,28 +89,26 @@ def wait_for_tpu(max_wait_s: float = 900.0, *, log=print) -> bool:
     while True:
         if _relay_port_open():
             if first:
-                log("tpu transport: relay up, probing", file=sys.stderr)
+                log("tpu transport: relay up, probing")
             if _probe_once():
                 # The probe's process exit must settle before the caller
                 # claims the chip, or the claim itself wedges the lease.
                 log(
                     f"tpu transport: probe ok; settling {_SETTLE_AFTER_PROBE_S}s "
-                    "before claiming the chip",
-                    file=sys.stderr,
+                    "before claiming the chip"
                 )
                 time.sleep(_SETTLE_AFTER_PROBE_S)
                 return True
             log(
                 "tpu transport: probe failed; quiet cool-down "
-                f"{_QUIET_AFTER_FAILED_PROBE_S}s",
-                file=sys.stderr,
+                f"{_QUIET_AFTER_FAILED_PROBE_S}s"
             )
             if time.monotonic() + _QUIET_AFTER_FAILED_PROBE_S > deadline:
                 return False
             time.sleep(_QUIET_AFTER_FAILED_PROBE_S)
         else:
             if first:
-                log("tpu transport: relay port closed, waiting", file=sys.stderr)
+                log("tpu transport: relay port closed, waiting")
             if time.monotonic() + 30.0 > deadline:
                 return False
             time.sleep(30.0)

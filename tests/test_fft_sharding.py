@@ -67,3 +67,25 @@ class TestShardedPropagate:
         )
         g = jax.grad(fn)(f, 4e-4)
         assert np.all(np.isfinite(np.asarray(jnp.abs(g))))
+
+
+def test_band_limit_matches_single_device():
+    """The Matsushima band-limit mask must apply identically on the sharded
+    path (the domain presets require it at mm-range distances)."""
+    mesh = make_mesh(8)
+    f = _field()
+    d = jnp.asarray([[[[6e-3]]], [[[1.2e-2]]]], jnp.float32)  # mm-range
+    ref = np.asarray(asm._propagate_xla(f, d, band_limit=True, **KW))
+    out = np.asarray(
+        sharded_propagate(
+            jax.device_put(f, fov_sharding(mesh)),
+            d,
+            mesh=mesh,
+            band_limit=True,
+            **KW,
+        )
+    )
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-5
+    # and the mask matters: unmasked differs at these distances
+    nomask = np.asarray(asm._propagate_xla(f, d, **KW))
+    assert np.abs(nomask - ref).max() / np.abs(ref).max() > 1e-3
