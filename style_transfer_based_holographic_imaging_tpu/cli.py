@@ -115,6 +115,27 @@ def _load_params(args):
             restored = ocp.StandardCheckpointer().restore(os.path.abspath(sub))
             params = restored["params"] if "params" in restored else restored
             print(f"loaded checkpoint {sub}", file=sys.stderr)
+        except ValueError:
+            # A checkpoint saved on the TPU carries device shardings that a
+            # target-less restore rejects on other backends — retry through
+            # train.state.load_release_params, which restores into a concrete
+            # host-initialized target (the run config supplies the width).
+            try:
+                from style_transfer_based_holographic_imaging_tpu.train import (
+                    load_release_params,
+                )
+
+                cfg = _load_config(args)
+                params = load_release_params(
+                    sub,
+                    width=cfg.model.width if cfg else 1.0,
+                    image_size=args.image_size,
+                )
+                print(f"loaded checkpoint {sub} (host-target restore)",
+                      file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"checkpoint load failed ({e}); using random init",
+                      file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"checkpoint load failed ({e}); using random init", file=sys.stderr)
     else:
@@ -695,6 +716,7 @@ def cmd_stream(args):
             )
             return 1
 
+    t_start = _time.perf_counter()
     for out in stream_retrieval(
         params,
         ds.batches(args.batch_size),
@@ -721,8 +743,15 @@ def cmd_stream(args):
     # data bounds all earlier batches (plain block_until_ready is unreliable
     # on the remote axon backend — see bench.py).
     float(jax.device_get(jnp.sum(last["amp_field"])))
-    dt = max(_time.perf_counter() - t_steady, 1e-9)
-    fps = n_steady / dt if n_steady else n / dt
+    if n_steady:
+        dt = max(_time.perf_counter() - t_steady, 1e-9)
+        fps = n_steady / dt
+    else:
+        # Single-batch stream: the post-sync interval is ~0 (the output was
+        # already materialized), so time the batch itself — compile included,
+        # which the note flags.
+        dt = max(t_steady - t_start, 1e-9)
+        fps = n / dt
     print(
         json.dumps(
             {
@@ -730,7 +759,9 @@ def cmd_stream(args):
                 "frames": n,
                 "value": round(fps, 1),
                 "unit": "frames/sec/chip",
-                "note": "steady-state (first batch excluded)" if n_steady else "single batch",
+                "note": "steady-state (first batch excluded)"
+                if n_steady
+                else "single batch (includes jit compile)",
             }
         )
     )

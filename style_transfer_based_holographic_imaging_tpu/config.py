@@ -42,6 +42,13 @@ class PhysicsConfig:
         """De-normalize a distance (network units -> metres)."""
         return (d + self.distance_normalize_constant) * self.distance_normalize * 1e-3
 
+    def to_network_units(self, d_mm):
+        """Millimetres -> network distance units (inverse of ``to_metres``
+        up to the mm/m factor). The single home for this conversion: a past
+        release bug (style-distance refocus 10x off in streaming/serving)
+        came from re-deriving it per call site."""
+        return -self.distance_normalize_constant + d_mm / self.distance_normalize
+
 
 @dataclass(frozen=True)
 class ModelConfig:

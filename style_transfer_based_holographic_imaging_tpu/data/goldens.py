@@ -23,8 +23,15 @@ import numpy as np
 
 __all__ = ["GoldenSuite", "load_golden_suite", "REPO_GOLDEN_NPZ", "REFERENCE_TEST_DATA"]
 
+# The converted goldens ship as package data so installed (wheel) copies work
+# without the repo checkout; a pre-existing repo-root data/golden_mnist.npz
+# (the original cache location) is honoured for backward compatibility.
+_PKG_GOLDEN_NPZ = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden_mnist.npz")
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-REPO_GOLDEN_NPZ = os.path.join(_REPO_ROOT, "data", "golden_mnist.npz")
+_LEGACY_GOLDEN_NPZ = os.path.join(_REPO_ROOT, "data", "golden_mnist.npz")
+REPO_GOLDEN_NPZ = (
+    _LEGACY_GOLDEN_NPZ if os.path.isfile(_LEGACY_GOLDEN_NPZ) else _PKG_GOLDEN_NPZ
+)
 REFERENCE_TEST_DATA = "/root/reference/test_data"
 N_BATCHES = 20
 

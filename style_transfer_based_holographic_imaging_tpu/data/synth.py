@@ -137,12 +137,8 @@ def synth_batch(
     d_style = ds_list[jax.random.randint(ks[4], (b,), 0, len(ds_list))]
     d_content = dc_list[jax.random.randint(ks[5], (b,), 0, len(dc_list))]
     # normalize into network units (Data_loader.py:21-22)
-    d_style = (
-        -physics.distance_normalize_constant + d_style / physics.distance_normalize
-    ).reshape(b, 1, 1, 1)
-    d_content = (
-        -physics.distance_normalize_constant + d_content / physics.distance_normalize
-    ).reshape(b, 1, 1, 1)
+    d_style = physics.to_network_units(d_style).reshape(b, 1, 1, 1)
+    d_content = physics.to_network_units(d_content).reshape(b, 1, 1, 1)
 
     digits_s = jnp.power(jnp.clip(bank[idx_s], 0.0, 1.0), pgamma[0]) * pscale[0]
     digits_c = jnp.power(jnp.clip(bank[idx_c], 0.0, 1.0), pgamma[1]) * pscale[1]
@@ -262,9 +258,8 @@ def synth_interpolation_batch(
 
     ds_list = jnp.asarray(data.style_distances, jnp.float32)
     b = len(data.style_distances)
-    norm = lambda d: -physics.distance_normalize_constant + d / physics.distance_normalize
-    d_style = norm(ds_list).reshape(b, 1, 1, 1)
-    d_content = jnp.broadcast_to(norm(d_c), (b, 1, 1, 1))
+    d_style = physics.to_network_units(ds_list).reshape(b, 1, 1, 1)
+    d_content = jnp.broadcast_to(physics.to_network_units(d_c), (b, 1, 1, 1))
 
     digit = jnp.clip(bank[idx], 0.0, 1.0)
     phase = jnp.pad(digit, ((pad, pad), (pad, pad)))[None, None]  # (1,1,S,S)

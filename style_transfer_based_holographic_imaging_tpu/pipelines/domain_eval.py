@@ -72,9 +72,7 @@ def evaluate_synth_domain(
 
     # Style distance is fixed per domain (single-plane style vector).
     d_style_mm = float(config.data.style_distances[0])
-    d_style_net = (
-        -physics.distance_normalize_constant + d_style_mm / physics.distance_normalize
-    )
+    d_style_net = physics.to_network_units(d_style_mm)
 
     psnr_list, mae_list = [], []
     d_true_all, d_pred_all = [], []
@@ -117,13 +115,18 @@ def evaluate_synth_domain(
 
         gt_phase = _zero_mean(batch["phase_content"])
         ph_foc = _zero_mean(out["ph_foc"])
-        psnr_list.append(float(psnr(ph_foc, gt_phase)))
-        mae_list.append(float(mae(ph_foc, gt_phase)))
-        d_true_all.append(np.asarray(batch["distance_content"]).reshape(-1))
-        d_pred_all.append(np.asarray(out["distance_pred"]).reshape(-1))
+        # Metrics stay on device inside the loop — a float() here would block
+        # the host every batch (costly on the remote backend); one fetch after
+        # the loop, same pattern as evaluate_golden_suite.
+        psnr_list.append(psnr(ph_foc, gt_phase))
+        mae_list.append(mae(ph_foc, gt_phase))
+        d_true_all.append(batch["distance_content"].reshape(-1))
+        d_pred_all.append(out["distance_pred"].reshape(-1))
 
-    d_true = np.concatenate(d_true_all)
-    d_pred = np.concatenate(d_pred_all)
+    psnr_list = [float(v) for v in jax.device_get(psnr_list)]
+    mae_list = [float(v) for v in jax.device_get(mae_list)]
+    d_true = np.concatenate([np.asarray(v) for v in jax.device_get(d_true_all)])
+    d_pred = np.concatenate([np.asarray(v) for v in jax.device_get(d_pred_all)])
     um = distances_to_um(np.stack([d_true, d_pred], axis=1), physics)
     return {
         "mean_psnr": float(np.mean(psnr_list)),

@@ -58,6 +58,7 @@ def retrieval_step(
     net: Optional[StyleTransferNet] = None,
     quant_scales: Optional[Dict[str, float]] = None,
     quant_dtype=jnp.bfloat16,
+    asm_backend: Optional[str] = None,
 ) -> Dict[str, jax.Array]:
     """One retrieval step on an NCHW intensity-hologram batch.
 
@@ -121,6 +122,7 @@ def retrieval_step(
         physics,
         return_field=True,
         unwrap=unwrap,
+        asm_backend=asm_backend,
     )
 
     result = {
@@ -144,6 +146,7 @@ def make_retrieval_fn(
     dtype=None,
     width: float = 1.0,
     quant_scales: Optional[Dict[str, float]] = None,
+    asm_backend: Optional[str] = None,
 ):
     """A jit-compiled retrieval step closed over the static config.
 
@@ -151,6 +154,9 @@ def make_retrieval_fn(
     physics (FFT/complex) path always stays fp32. ``width`` selects a
     channel-scaled "fast profile" architecture (ModelConfig.width).
     ``quant_scales`` enables the int8 serving path (models/quant.py).
+    ``asm_backend`` overrides the propagator backend for the refocus —
+    mesh-sharded callers MUST pass "xla": a pallas_call cannot be
+    auto-partitioned by GSPMD (same constraint as train/losses.py).
     """
     if dtype is not None or width != 1.0:
         net = StyleTransferNet(dtype=dtype or jnp.float32, width=width)
@@ -165,6 +171,7 @@ def make_retrieval_fn(
         net=net,
         quant_scales=quant_scales,
         quant_dtype=dtype or jnp.bfloat16,
+        asm_backend=asm_backend,
     )
     return jax.jit(step, donate_argnums=(1,) if donate else ())
 

@@ -51,6 +51,7 @@ def physics_refine(
     tv_weight: float = 5e-3,
     refine_distance: bool = False,
     optimize_amp: bool = True,
+    asm_backend: str | None = None,
 ) -> Dict[str, jax.Array]:
     """Polish an object-plane field against its measured hologram.
 
@@ -83,7 +84,11 @@ def physics_refine(
     batch = max(int(phase0.shape[0]), 1)
 
     def data_residual(amp, phase, d):
-        synth = holo_forward(amp, phase, d, physics)  # intensity
+        # Mesh-sharded callers pass asm_backend="xla": a pallas_call cannot
+        # be auto-partitioned by GSPMD (ops/asm.py backend note).
+        synth = holo_forward(
+            amp, phase, d, physics, asm_backend=asm_backend
+        )  # intensity
         return jnp.sqrt(jnp.maximum(synth, 0.0)) - meas
 
     def loss_fn(p):

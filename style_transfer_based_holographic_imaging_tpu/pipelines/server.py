@@ -102,10 +102,7 @@ class RetrievalService:
             if style_distance is None
             else style_distance
         )
-        d_s = (
-            -self.config.physics.distance_normalize_constant
-            + d_s_mm / self.config.physics.distance_normalize
-        )
+        d_s = self.config.physics.to_network_units(d_s_mm)
         self._d_style = jnp.full((self.batch_size, 1, 1, 1), d_s, jnp.float32)
         if self._in_sharding is not None:
             from style_transfer_based_holographic_imaging_tpu.parallel import (
@@ -115,12 +112,17 @@ class RetrievalService:
             self._sm = jax.device_put(self._sm, replicated(mesh))
             self._ss = jax.device_put(self._ss, replicated(mesh))
             self._d_style = jax.device_put(self._d_style, self._in_sharding)
+        # Mesh-sharded serving must stay on the XLA propagator: the Pallas
+        # kernel (asm "auto" resolves to it on TPU) cannot be auto-partitioned
+        # by GSPMD (ops/asm.py backend note; train/losses.py does the same).
+        self._asm_backend = "xla" if mesh is not None else None
         self._fn = make_retrieval_fn(
             self.config.physics,
             alpha=self.config.eval.alpha,
             dtype=dtype,
             width=self.config.model.width,
             quant_scales=quant_scales,
+            asm_backend=self._asm_backend,
         )
         self._lock = threading.Lock()
         self.n_served = 0
@@ -155,6 +157,7 @@ class RetrievalService:
                 jnp.sqrt(holo_dev.astype(jnp.float32)),
                 self.config.physics,
                 steps=self.refine_steps,
+                asm_backend=self._asm_backend,
             )
             out = dict(out, amp_foc=refined["amp"], ph_foc=refined["phase"])
         return {k: np.asarray(jax.device_get(out[k])) for k in _RESULT_KEYS if k in out}

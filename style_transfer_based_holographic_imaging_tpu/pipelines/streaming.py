@@ -67,11 +67,17 @@ def stream_retrieval(
     path — measured ~27% more holograms/s at width 1.0 on v5e.
     """
     config = config or ExperimentConfig()
+    # Multi-device (DP-sharded) streams must stay on the XLA propagator: the
+    # Pallas kernel (asm "auto" on TPU) cannot be auto-partitioned by GSPMD.
+    asm_backend = (
+        "xla" if sharding is not None and len(sharding.device_set) > 1 else None
+    )
     fn = make_retrieval_fn(
         config.physics,
         dtype=dtype,
         width=config.model.width,
         quant_scales=quant_scales,
+        asm_backend=asm_backend,
     )
     sm = jnp.asarray(style_vector[0])
     ss = jnp.asarray(style_vector[1])
@@ -81,10 +87,7 @@ def stream_retrieval(
     d_s_mm = (
         config.data.style_distances[0] if style_distance is None else style_distance
     )
-    d_s = (
-        -config.physics.distance_normalize_constant
-        + d_s_mm / config.physics.distance_normalize
-    )
+    d_s = config.physics.to_network_units(d_s_mm)
 
     # Pad any ragged batch (e.g. the stream's tail) up to the first batch's
     # size host-side: a new input shape would retrace + recompile the whole
@@ -124,6 +127,7 @@ def stream_retrieval(
                 jnp.sqrt(jnp.asarray(holo, jnp.float32)),
                 config.physics,
                 steps=refine_steps,
+                asm_backend=asm_backend,
             )
             out = dict(
                 out, amp_foc=refined["amp"], ph_foc=refined["phase"]

@@ -60,9 +60,6 @@ def _label_params(params) -> Any:
     """'frozen' for the encoder subtree, 'train' elsewhere."""
     inner = params["params"] if "params" in params else params
 
-    def label_tree(tree):
-        return jax.tree.map(lambda _: "train", tree)
-
     labels = {
         k: jax.tree.map(lambda _: "frozen" if k == "encoder" else "train", v)
         for k, v in inner.items()
@@ -215,8 +212,15 @@ def latest_snapshot(ckpt_dir: str) -> Optional[str]:
     """
     if not os.path.isdir(ckpt_dir):
         return None
+    # Only fully-numeric suffixes: an interrupted orbax save leaves temp dirs
+    # like iter_40000.orbax-checkpoint-tmp-<ts> behind, which must neither
+    # crash the int() sort nor be selected as a (partial) snapshot.
     iters = sorted(
-        (d for d in os.listdir(ckpt_dir) if d.startswith("iter_")),
+        (
+            d
+            for d in os.listdir(ckpt_dir)
+            if d.startswith("iter_") and d.split("_", 1)[1].isdigit()
+        ),
         key=lambda s: int(s.split("_")[1]),
     )
     return os.path.join(ckpt_dir, iters[-1]) if iters else None

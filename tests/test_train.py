@@ -333,3 +333,33 @@ def test_load_release_params_roundtrip(tmp_path, small_params):
     a = jax.tree_util.tree_leaves(host)[0]
     b = jax.tree_util.tree_leaves(got)[0]
     np.testing.assert_array_equal(a, b)
+
+
+def test_latest_snapshot_skips_orbax_tmp_dirs(tmp_path):
+    """An interrupted orbax save leaves iter_<n>.orbax-checkpoint-tmp-<ts>
+    dirs behind; snapshot discovery must neither crash on them nor pick the
+    partial snapshot (the crash-recovery path this helper serves)."""
+    from style_transfer_based_holographic_imaging_tpu.train import latest_snapshot
+
+    (tmp_path / "iter_35000").mkdir()
+    (tmp_path / "iter_40000.orbax-checkpoint-tmp-1723456789").mkdir()
+    got = latest_snapshot(str(tmp_path))
+    assert got is not None and got.endswith("iter_35000")
+
+    # Still None for a dir holding only temp debris.
+    only_tmp = tmp_path / "only_tmp"
+    only_tmp.mkdir()
+    (only_tmp / "iter_1000.orbax-checkpoint-tmp-1").mkdir()
+    assert latest_snapshot(str(only_tmp)) is None
+
+
+def test_to_network_units_inverts_to_metres():
+    from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
+
+    for physics in (
+        PhysicsConfig(),
+        PhysicsConfig(distance_normalize=25.0, distance_normalize_constant=0.3),
+    ):
+        d_mm = np.array([0.2, 0.6, 6.0, 20.0])
+        net = physics.to_network_units(d_mm)
+        np.testing.assert_allclose(physics.to_metres(net), d_mm * 1e-3, rtol=1e-12)
