@@ -68,10 +68,12 @@ def main():
 
     # All comparisons stay on-device (axon cannot fetch large/complex
     # arrays); only scalar metrics are transferred.
-    field = jnp.asarray(
-        (rng.random((b, 1, 128, 128)) + 1j * rng.random((b, 1, 128, 128))).astype(
-            np.complex64
-        )
+    # Complex arrays are formed ON DEVICE from two fp32 planes: a
+    # host->device transfer of a complex64 array wedges the axon transport
+    # (every later fetch fails UNIMPLEMENTED — measured 2026-08-18).
+    field = jax.jit(jax.lax.complex)(
+        jnp.asarray(rng.random((b, 1, 128, 128), np.float32)),
+        jnp.asarray(rng.random((b, 1, 128, 128), np.float32)),
     )
     d = jnp.full((b, 1, 1, 1), 4e-4, jnp.float32)
     kw = dict(wavelength=physics.wavelength, pixel_size=physics.pixel_size)
@@ -91,7 +93,7 @@ def main():
     scales = calibrate_scales(variables, [content], sm, ss)
     asm.set_asm_backend("pallas")
 
-    for prec in ("highest", "high"):
+    for prec in ("highest", "high", "bf16"):
         asm_pallas.set_dft_precision(prec)
         prop = jax.jit(
             lambda f, dd: asm_pallas.propagate_pallas(f, dd, **kw)

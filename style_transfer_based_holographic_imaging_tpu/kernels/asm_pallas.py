@@ -68,32 +68,63 @@ def _edge_pad(x: jax.Array, ph: int, pw: int) -> jax.Array:
 
 
 # MXU precision for the DFT matmuls. "highest" = 6-pass bf16 (full fp32
-# emulation); "high" = 3-pass bf16 — half the MXU work. The setting is a
+# emulation); "high" = 3-pass bf16 (hi@hi + hi@lo + lo@hi error compensation
+# — implemented manually because Mosaic's dot lowering rejects
+# lax.Precision.HIGH); "bf16" = single-pass bf16. The setting is a
 # trace-time global threaded into the kernel as a static arg (so switching
-# it rebuilds the compiled kernel). Parity/speed trade measured by
-# scripts/exp_asm_precision.py before any default change.
-_DFT_PRECISION = "highest"
-_PRECISION_TABLE = {
-    "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
-}
+# it rebuilds the compiled kernel). Measured on v5e b=256
+# (scripts/exp_asm_precision.py): highest 6.0 ms/propagate, 133.7 dB golden
+# physics parity; high 4.0 ms, 106.3 dB (rel-err 9e-6 vs the fp32 XLA path);
+# bf16 3.1 ms, 45.6 dB (5e-3 — too lossy for refined serving). "high" is the
+# default: its error floor sits ~70 dB below any recorded quality metric and
+# buys +7% end-to-end throughput.
+_DFT_PRECISION = "high"
+_PRECISIONS = ("highest", "high", "bf16")
 
 
 def set_dft_precision(precision: str) -> None:
-    """'highest' (fp32, default) or 'high' (bf16x3)."""
+    """'highest' (fp32), 'high' (bf16x3, default) or 'bf16' (single pass)."""
     global _DFT_PRECISION
-    if precision not in _PRECISION_TABLE:
+    if precision not in _PRECISIONS:
         raise ValueError(f"unknown dft precision {precision!r}")
     _DFT_PRECISION = precision
 
 
+def _split_bf16(x):
+    """hi/lo bf16 decomposition: x ~= hi + lo with hi = bf16(x)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _make_dot(precision_name: str):
+    if precision_name == "highest":
+        return functools.partial(
+            jnp.dot,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    if precision_name == "bf16":
+        return lambda a, b: jnp.dot(
+            a.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+
+    def dot3(a, b):
+        # 3-pass bf16 error compensation (drops only the lo@lo term, which
+        # is below fp32 rounding for these unit-magnitude twiddles).
+        ahi, alo = _split_bf16(a)
+        bhi, blo = _split_bf16(b)
+        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        return d(ahi, bhi) + d(ahi, blo) + d(alo, bhi)
+
+    return dot3
+
+
 def _cmm(are, aim, bre, bim, precision_name="highest"):
-    """Complex matmul (are + i*aim) @ (bre + i*bim) as 4 fp32 MXU matmuls."""
-    dot = functools.partial(
-        jnp.dot,
-        preferred_element_type=jnp.float32,
-        precision=_PRECISION_TABLE[precision_name],
-    )
+    """Complex matmul (are + i*aim) @ (bre + i*bim) as 4 real MXU matmuls."""
+    dot = _make_dot(precision_name)
     return (
         dot(are, bre) - dot(aim, bim),
         dot(are, bim) + dot(aim, bre),

@@ -396,7 +396,11 @@ def calibrate_scales(
     sm = jnp.asarray(style_mean)
     ss = jnp.asarray(style_std)
 
-    def one_batch(content):
+    # variables/sm/ss are jit ARGUMENTS, not closures: closed-over device
+    # arrays are embedded as constants at trace time, and inlining a constant
+    # (mlir.ir_constant) host-fetches the array — which the remote axon
+    # backend rejects with UNIMPLEMENTED.
+    def one_batch(variables, content, sm, ss):
         obs = _Observer()
         quant_retrieval_forward(
             variables,
@@ -414,7 +418,7 @@ def calibrate_scales(
     run = jax.jit(one_batch)
     agg: Dict[str, float] = {}
     for batch in content_batches:
-        maxes = jax.device_get(run(jnp.asarray(batch, jnp.float32)))
+        maxes = jax.device_get(run(variables, jnp.asarray(batch, jnp.float32), sm, ss))
         for k, v in maxes.items():
             agg[k] = max(agg.get(k, 0.0), float(v))
     return {k: v * margin for k, v in agg.items()}

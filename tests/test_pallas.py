@@ -25,6 +25,16 @@ def _rand_field(b=2, n=32, seed=0):
 
 
 class TestPallasParity:
+    @pytest.fixture(autouse=True)
+    def _fp32_dft(self):
+        # Parity at 1e-5 targets the fp32 (6-pass) DFT; the shipped default
+        # is "high" (3-pass, rel-err ~1e-5 — tested separately below).
+        from style_transfer_based_holographic_imaging_tpu.kernels import asm_pallas
+
+        asm_pallas.set_dft_precision("highest")
+        yield
+        asm_pallas.set_dft_precision("high")
+
     def test_forward_matches_xla(self):
         f = _rand_field()
         d = jnp.asarray([[[[3e-4]]], [[[7e-4]]]], jnp.float32)
@@ -90,13 +100,47 @@ class TestBackendRouter:
             f = _rand_field(b=1)
             a = np.asarray(asm._propagate_xla(f, 3e-4, **KW))
             b = np.asarray(asm.propagate(f, 3e-4, **KW))
-            assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
+            # 1e-4 headroom: this exercises ROUTING under the shipped default
+            # DFT precision ("high", rel-err ~1e-5); exact-precision parity
+            # is TestPallasParity / TestDftPrecision territory.
+            assert np.abs(a - b).max() / np.abs(a).max() < 1e-4
         finally:
             asm.set_asm_backend("xla")
 
     def test_bad_name_rejected(self):
         with pytest.raises(ValueError):
             asm.set_asm_backend("cuda")
+
+
+class TestDftPrecision:
+    """The 3-pass/1-pass bf16 DFT emulation modes (set_dft_precision)."""
+
+    @pytest.fixture(autouse=True)
+    def _restore(self):
+        from style_transfer_based_holographic_imaging_tpu.kernels import asm_pallas
+
+        yield
+        asm_pallas.set_dft_precision("high")
+
+    @pytest.mark.parametrize(
+        "precision,tol",
+        [("highest", 1e-5), ("high", 1e-4), ("bf16", 2e-2)],
+    )
+    def test_rel_err_budget(self, precision, tol):
+        from style_transfer_based_holographic_imaging_tpu.kernels import asm_pallas
+
+        asm_pallas.set_dft_precision(precision)
+        f = _rand_field()
+        d = jnp.asarray([[[[3e-4]]], [[[7e-4]]]], jnp.float32)
+        a = np.asarray(asm._propagate_xla(f, d, **KW))
+        b = np.asarray(propagate_pallas(f, d, **KW, interpret=True))
+        assert np.abs(a - b).max() / np.abs(a).max() < tol
+
+    def test_bad_precision_rejected(self):
+        from style_transfer_based_holographic_imaging_tpu.kernels import asm_pallas
+
+        with pytest.raises(ValueError):
+            asm_pallas.set_dft_precision("fp8")
 
     def test_odd_shapes_fall_back(self):
         asm.set_asm_backend("pallas")
