@@ -166,9 +166,15 @@ def main():
 
         with open(os.path.join(tier_dir, "config.json")) as f:
             cfg = ExperimentConfig.from_json(f.read())
-        tier_params = ocp.StandardCheckpointer().restore(
-            os.path.abspath(os.path.join(tier_dir, "release"))
-        )["params"]
+        # Commit the restored tree to device ONCE: orbax's target-less restore
+        # yields host numpy leaves, and passing those into a jitted fn
+        # re-transfers all 9.8 MB every call — measured 1.5k vs 27.3k holo/s
+        # over the remote tunnel (scripts/diag_ultra_bench.py).
+        tier_params = jax.device_put(
+            ocp.StandardCheckpointer().restore(
+                os.path.abspath(os.path.join(tier_dir, "release"))
+            )["params"]
+        )
         sv = np.load(os.path.join(tier_dir, "style_vector.npz"))
         scales = load_scales(os.path.join(tier_dir, "quant_scales.json"))
         with open(os.path.join(tier_dir, "golden_metrics.json")) as f:

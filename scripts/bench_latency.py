@@ -37,9 +37,14 @@ def load_tier(repo, tier):
     from style_transfer_based_holographic_imaging_tpu.models.quant import load_scales
 
     d = os.path.join(repo, "checkpoints", TIERS[tier])
-    params = ocp.StandardCheckpointer().restore(
-        os.path.abspath(os.path.join(d, "release"))
-    )["params"]
+    import jax
+
+    # device_put once: host numpy leaves re-transfer per jitted call.
+    params = jax.device_put(
+        ocp.StandardCheckpointer().restore(
+            os.path.abspath(os.path.join(d, "release"))
+        )["params"]
+    )
     sv = np.load(os.path.join(d, "style_vector.npz"))
     with open(os.path.join(d, "config.json")) as f:
         cfg = ExperimentConfig.from_json(f.read())

@@ -46,8 +46,9 @@ def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sub = "" if args.tier == "flagship" else args.tier
     d = os.path.join(repo, "checkpoints", sub)
-    params = ocp.StandardCheckpointer().restore(
-        os.path.abspath(os.path.join(d, "release")))["params"]
+    # device_put once: host numpy leaves re-transfer per jitted call.
+    params = jax.device_put(ocp.StandardCheckpointer().restore(
+        os.path.abspath(os.path.join(d, "release")))["params"])
     sv = np.load(os.path.join(d, "style_vector.npz"))
     with open(os.path.join(d, "config.json")) as f:
         cfg = ExperimentConfig.from_json(f.read())

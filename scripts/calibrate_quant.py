@@ -41,9 +41,10 @@ def run_one(ckpt, args, goldens):
     )
 
     ckpt = os.path.abspath(ckpt)
-    variables = ocp.StandardCheckpointer().restore(
+    # device_put once: host numpy leaves re-transfer per jitted call.
+    variables = jax.device_put(ocp.StandardCheckpointer().restore(
         os.path.join(ckpt, args.release)
-    )["params"]
+    )["params"])
     sv = np.load(os.path.join(ckpt, args.style))
     cfg_path = os.path.join(ckpt, "config.json")
     if os.path.isfile(cfg_path):

@@ -67,7 +67,10 @@ def main():
         print(f"no iter_* snapshot under {args.run}", file=sys.stderr)
         return 1
     restored = ocp.StandardCheckpointer().restore(os.path.abspath(snap))
-    params = restored["params"] if "params" in restored else restored
+    # device_put once: host numpy leaves re-transfer per jitted call.
+    params = jax.device_put(
+        restored["params"] if "params" in restored else restored
+    )
     print(f"restored {snap}", flush=True)
 
     t0 = time.time()

@@ -194,14 +194,18 @@ def load_release_params(path: str, *, width: float = 1.0, image_size: int = 128)
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     try:
-        return ckptr.restore(path)["params"]
+        params = ckptr.restore(path)["params"]
     except ValueError:
         target = {
             "params": jax.device_get(
                 init_net_params(jax.random.key(0), image_size=image_size, width=width)
             )
         }
-        return ckptr.restore(path, target)["params"]
+        params = ckptr.restore(path, target)["params"]
+    # Commit to device once: restored numpy leaves passed into a jitted fn
+    # re-transfer the whole tree EVERY call (measured 1.5k vs 27.3k holo/s
+    # through the remote-TPU tunnel).
+    return jax.device_put(params)
 
 
 def latest_snapshot(ckpt_dir: str) -> Optional[str]:
