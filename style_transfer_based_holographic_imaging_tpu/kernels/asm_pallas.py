@@ -13,10 +13,12 @@ This kernel fuses the whole pipeline
 
 into ONE ``pallas_call`` per batch: every sample is read from HBM once
 (2 fp32 planes, H*W each) and written once; all intermediates live in VMEM.
-The 2D FFTs are evaluated as DFT matmuls ``F @ X @ F`` on the MXU (complex
-arithmetic as 4 real fp32 matmuls per stage) — at the flagship 256^2 padded
-size that is 16 matmuls of 256^3 MACs/sample, which the MXU sustains far
-faster than the equivalent HBM round-trips. The per-sample propagation
+The 2D FFTs are evaluated as DFT matmuls on the MXU (complex arithmetic as
+real matmul passes), with the replicate-pad and centre-crop FOLDED INTO the
+DFT factor matrices (they are linear maps — see ``_folded_factors``): the
+padded fft2 is the thin product ``A @ x @ B`` and the cropped ifft2 is
+``C @ T @ D``, 25M complex MACs/sample at the flagship 128^2->256^2 size vs
+67M for transforming the materialised pad. The per-sample propagation
 distance is a scalar in SMEM; the transfer-function phase ``d * kz`` and its
 cos/sin run on the VPU.
 
@@ -45,26 +47,46 @@ __all__ = ["propagate_pallas"]
 
 @functools.lru_cache(maxsize=None)
 def _dft_matrix(n: int):
-    """(n, n) fp32 re/im planes of the forward DFT matrix exp(-2*pi*i*j*k/n).
+    """(n, n) fp64 re/im planes of the forward DFT matrix exp(-2*pi*i*j*k/n).
 
-    Twiddles are computed in host fp64 with the argument reduced mod n so the
-    fp32 cast loses nothing to large-angle evaluation.
+    Twiddles are computed in host fp64 with the argument reduced mod n so a
+    later fp32 cast loses nothing to large-angle evaluation.
     """
     j = np.arange(n, dtype=np.int64)
     jk = np.outer(j, j) % n
     ang = -2.0 * np.pi * jk.astype(np.float64) / n
-    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+    return np.cos(ang), np.sin(ang)
 
 
-def _edge_pad(x: jax.Array, ph: int, pw: int) -> jax.Array:
-    """Replicate-pad a (H, W) block by (ph, pw) on each side (VPU ops only)."""
-    h, w = x.shape
-    top = jnp.broadcast_to(x[0:1, :], (ph, w))
-    bot = jnp.broadcast_to(x[h - 1 : h, :], (ph, w))
-    x = jnp.concatenate([top, x, bot], axis=0)
-    left = jnp.broadcast_to(x[:, 0:1], (h + 2 * ph, pw))
-    right = jnp.broadcast_to(x[:, w - 1 : w], (h + 2 * ph, pw))
-    return jnp.concatenate([left, x, right], axis=1)
+@functools.lru_cache(maxsize=None)
+def _folded_factors(n: int, full: int):
+    """Factor matrices folding the pad/crop into the DFTs (host fp64 -> fp32).
+
+    The replicate pad and the centre crop are LINEAR: with R (full, n) the
+    edge-replication matrix and the padded spectrum S = F P(x) F = F R_h x
+    R_w^T F, the whole padded fft2 is A @ x @ B with the thin precomputed
+    factors A = F R (full, n) and B = (F R)^T (R^T F, F symmetric). Likewise
+    ifft2-then-crop is C @ T @ D with C = conj(F)[lo:hi, :] / N (the 1/N fold
+    is a power of two — exact) and D = conj(F)[:, lo:hi]. At 128 -> 256 this
+    cuts the propagate's complex MACs 67M -> 25M per image vs transforming
+    the materialised 256^2 pad, and removes the in-kernel pad/crop copies.
+
+    Returns (Are, Aim, Cre, Cim); B/D are transposes taken in-kernel.
+    """
+    fre, fim = _dft_matrix(full)
+    lo = (full - n) // 2
+    r = np.zeros((full, n), np.float64)
+    r[np.arange(full), np.clip(np.arange(full) - lo, 0, n - 1)] = 1.0
+    are, aim = fre @ r, fim @ r
+    inv_n = 1.0 / float(full)  # applied once per side: (1/full)^2 total
+    cre = fre[lo : lo + n, :] * inv_n
+    cim = -fim[lo : lo + n, :] * inv_n
+    return (
+        are.astype(np.float32),
+        aim.astype(np.float32),
+        cre.astype(np.float32),
+        cim.astype(np.float32),
+    )
 
 
 # MXU precision for the DFT matmuls. "highest" = 6-pass bf16 (full fp32
@@ -88,6 +110,22 @@ def set_dft_precision(precision: str) -> None:
     if precision not in _PRECISIONS:
         raise ValueError(f"unknown dft precision {precision!r}")
     _DFT_PRECISION = precision
+
+
+# Images per grid step. One image per step leaves the MXU (DFT matmuls) and
+# the VPU (transfer-phase cos/sin + complex elementwise) as one serial
+# instruction stream; unrolling G images per step gives Mosaic independent
+# streams to interleave. Trace-time global like the precision knob; batches
+# not divisible by G fall back to 1 at trace time (shape-static).
+_GROUP_SIZE = 1
+
+
+def set_group_size(group: int) -> None:
+    """Images per Pallas grid step (1, 2, 4, ...). Trace-time setting."""
+    global _GROUP_SIZE
+    if not (isinstance(group, int) and group >= 1):
+        raise ValueError(f"group size must be a positive int, got {group!r}")
+    _GROUP_SIZE = group
 
 
 def _split_bf16(x):
@@ -131,65 +169,77 @@ def _cmm(are, aim, bre, bim, precision_name="highest"):
     )
 
 
-def _make_kernel(h: int, w: int, pad: bool, g_coef: float, precision_name: str):
+def _make_kernel(h: int, w: int, pad: bool, g_coef: float, precision_name: str,
+                 group: int = 1):
     ph = h // 2 if pad else 0
     pw = w // 2 if pad else 0
     fh, fw = h + 2 * ph, w + 2 * pw
-    inv_n = 1.0 / float(fh * fw)
 
-    def kernel(d_ref, xre_ref, xim_ref, fhre_ref, fhim_ref, fwre_ref, fwim_ref,
-               kz_ref, yre_ref, yim_ref):
-        # d_ref holds the whole (B, 1) distance vector in SMEM (Mosaic
-        # requires unblocked SMEM refs); pick this program's scalar.
-        d = d_ref[pl.program_id(0), 0]
-        xre = xre_ref[0]
-        xim = xim_ref[0]
-        if pad:
-            xre = _edge_pad(xre, ph, pw)
-            xim = _edge_pad(xim, ph, pw)
+    def kernel(d_ref, xre_ref, xim_ref, are_ref, aim_ref, bre_ref, bim_ref,
+               cre_ref, cim_ref, dre_ref, dim_ref, kz_ref, yre_ref, yim_ref):
+        are, aim = are_ref[:], aim_ref[:]
+        bre, bim = bre_ref[:], bim_ref[:]
+        cre, cim = cre_ref[:], cim_ref[:]
+        dre, dim = dre_ref[:], dim_ref[:]
 
-        fhre, fhim = fhre_ref[:], fhim_ref[:]
-        fwre, fwim = fwre_ref[:], fwim_ref[:]
+        # The images of this program's (group, h, w) block are processed by
+        # an unrolled loop — independent instruction streams that Mosaic can
+        # interleave across the MXU (DFT matmuls) and VPU (transfer phase).
+        for i in range(group):
+            # d_ref is this program's (group, 1, 1) SMEM block of the
+            # (B, 1, 1) distance vector — only the leading dim is blocked,
+            # which satisfies the TPU block-shape rule (last two dims equal
+            # the array's). An unblocked whole-array SMEM ref pads each
+            # scalar to a full SMEM word: at b=2048 that overflowed the
+            # 1 MB smem space.
+            d = d_ref[i, 0, 0]
+            xre = xre_ref[i]
+            xim = xim_ref[i]
 
-        # fft2: S = F_h @ X @ F_w  (DFT matrices are symmetric, so the
-        # column transform is a plain right-multiply).
-        s1re, s1im = _cmm(fhre, fhim, xre, xim, precision_name)
-        sre, sim = _cmm(s1re, s1im, fwre, fwim, precision_name)
+            # Padded fft2 as S = A @ x @ B with the pad folded into the thin
+            # factors (A = F R_h (fh, h), B = (F R_w)^T (w, fw); see
+            # _folded_factors) — 2.66x fewer MACs than transforming the
+            # materialised (fh, fw) pad, and no in-kernel pad copy.
+            s1re, s1im = _cmm(are, aim, xre, xim, precision_name)
+            sre, sim = _cmm(s1re, s1im, bre, bim, precision_name)
 
-        # Transfer function H = exp(i * d * kz_rel) on the VPU.
-        phase = d * kz_ref[:]
-        c = jnp.cos(phase)
-        s = jnp.sin(phase)
-        tre = sre * c - sim * s
-        tim = sre * s + sim * c
+            # Transfer function H = exp(i * d * kz_rel) on the VPU.
+            phase = d * kz_ref[:]
+            c = jnp.cos(phase)
+            s = jnp.sin(phase)
+            tre = sre * c - sim * s
+            tim = sre * s + sim * c
 
-        # ifft2: (1/N) * conj(F_h) @ T @ conj(F_w).
-        u1re, u1im = _cmm(fhre, -fhim, tre, tim, precision_name)
-        ure, uim = _cmm(u1re, u1im, fwre, -fwim, precision_name)
+            # ifft2 + centre crop as C @ T @ D (crop rows/cols of conj(F)
+            # selected host-side; the 1/N scale is folded into C and D).
+            u1re, u1im = _cmm(cre, cim, tre, tim, precision_name)
+            ure, uim = _cmm(u1re, u1im, dre, dim, precision_name)
 
-        # Global per-sample phasor exp(i * d * 2*pi/lambda) + 1/N scale
-        # (see ops/asm.py precision note), fused with the crop write-out.
-        g = d * jnp.float32(g_coef)
-        gc = jnp.cos(g) * jnp.float32(inv_n)
-        gs = jnp.sin(g) * jnp.float32(inv_n)
-        outre = ure * gc - uim * gs
-        outim = ure * gs + uim * gc
-        if pad:
-            outre = outre[ph : ph + h, pw : pw + w]
-            outim = outim[ph : ph + h, pw : pw + w]
-        yre_ref[0] = outre
-        yim_ref[0] = outim
+            # Global per-sample phasor exp(i * d * 2*pi/lambda)
+            # (see ops/asm.py precision note), fused with the write-out.
+            g = d * jnp.float32(g_coef)
+            gc = jnp.cos(g)
+            gs = jnp.sin(g)
+            yre_ref[i] = ure * gc - uim * gs
+            yim_ref[i] = ure * gs + uim * gc
 
     return kernel, fh, fw
 
 
-@functools.partial(jax.jit, static_argnames=("wavelength", "pixel_size", "pad", "interpret", "precision_name"))
-def _propagate_pallas_impl(xre, xim, dist, *, wavelength, pixel_size, pad, interpret, precision_name):
+@functools.partial(jax.jit, static_argnames=("wavelength", "pixel_size", "pad", "interpret", "precision_name", "group"))
+def _propagate_pallas_impl(xre, xim, dist, *, wavelength, pixel_size, pad, interpret, precision_name, group=1):
     b, h, w = xre.shape
-    kernel, fh, fw = _make_kernel(h, w, pad, 2.0 * math.pi / wavelength, precision_name)
+    g = group if group >= 1 and b % group == 0 else 1
+    kernel, fh, fw = _make_kernel(h, w, pad, 2.0 * math.pi / wavelength, precision_name, g)
 
-    fhre, fhim = (jnp.asarray(m) for m in _dft_matrix(fh))
-    fwre, fwim = ((fhre, fhim) if fw == fh else tuple(jnp.asarray(m) for m in _dft_matrix(fw)))
+    are, aim, cre, cim = (jnp.asarray(m) for m in _folded_factors(h, fh))
+    if (w, fw) == (h, fh):
+        awre, awim, cwre, cwim = are, aim, cre, cim
+    else:
+        awre, awim, cwre, cwim = (jnp.asarray(m) for m in _folded_factors(w, fw))
+    # B = (F R_w)^T and D = (conj(F)/fw)[:, lo:hi] = C_w^T (DFT symmetry).
+    bre, bim = awre.T, awim.T
+    dre, dim = cwre.T, cwim.T
     kz = _asm._kz_rel_grid(fh, fw, pixel_size=pixel_size, wavelength=wavelength)
 
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -199,46 +249,51 @@ def _propagate_pallas_impl(xre, xim, dist, *, wavelength, pixel_size, pad, inter
     ]
     yre, yim = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            full((fh, fh)),
-            full((fh, fh)),
-            full((fw, fw)),
-            full((fw, fw)),
+            pl.BlockSpec((g, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            full((fh, h)),
+            full((fh, h)),
+            full((w, fw)),
+            full((w, fw)),
+            full((h, fh)),
+            full((h, fh)),
+            full((fw, w)),
+            full((fw, w)),
             full((fh, fw)),
         ],
         out_specs=[
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
         interpret=interpret,
-    )(dist, xre, xim, fhre, fhim, fwre, fwim, kz)
+    )(dist.reshape(b, 1, 1), xre, xim, are, aim, bre, bim,
+      cre, cim, dre, dim, kz)
     return yre, yim
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _propagate_cvjp(field, distance, wavelength, pixel_size, pad, interpret, precision_name):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _propagate_cvjp(field, distance, wavelength, pixel_size, pad, interpret, precision_name, group):
     b = field.shape[0]
     xre = jnp.real(field).astype(jnp.float32)
     xim = jnp.imag(field).astype(jnp.float32)
     yre, yim = _propagate_pallas_impl(
         xre, xim, distance.reshape(b, 1),
         wavelength=wavelength, pixel_size=pixel_size, pad=pad, interpret=interpret,
-        precision_name=precision_name,
+        precision_name=precision_name, group=group,
     )
     return jax.lax.complex(yre, yim)
 
 
-def _cvjp_fwd(field, distance, wavelength, pixel_size, pad, interpret, precision_name):
-    out = _propagate_cvjp(field, distance, wavelength, pixel_size, pad, interpret, precision_name)
+def _cvjp_fwd(field, distance, wavelength, pixel_size, pad, interpret, precision_name, group):
+    out = _propagate_cvjp(field, distance, wavelength, pixel_size, pad, interpret, precision_name, group)
     return out, (field, distance)
 
 
-def _cvjp_bwd(wavelength, pixel_size, pad, interpret, precision_name, res, w_ct):
+def _cvjp_bwd(wavelength, pixel_size, pad, interpret, precision_name, group, res, w_ct):
     field, distance = res
     _, vjp = jax.vjp(
         lambda f, d: _asm._propagate_xla(
@@ -287,5 +342,6 @@ def propagate_pallas(
         jnp.asarray(distance, jnp.float32), lead + (1, 1)
     ).reshape(b, 1, 1)
 
-    out = _propagate_cvjp(flat, dist, wavelength, pixel_size, pad, interpret, _DFT_PRECISION)
+    out = _propagate_cvjp(flat, dist, wavelength, pixel_size, pad, interpret,
+                          _DFT_PRECISION, _GROUP_SIZE)
     return out.reshape(field.shape)
