@@ -27,6 +27,17 @@ relative grid + a global per-sample phasor, same evanescent clamp); parity is
 asserted in tests/test_pallas.py. Gradients are provided by a ``custom_vjp``
 that delegates to the XLA implementation (the maths is identical; training is
 conv-dominated so the backward pass gains nothing from fusion).
+
+Two serving-oriented specialisations on top:
+
+* **Static distance** (a Python/numpy scalar — the serving refocus by the
+  fixed ``-d_style``): the transfer function and the global phasor are
+  precomputed outside the kernel (XLA constant-folds them) and the const-H
+  kernel skips all per-image VPU ``cos``/``sin``.
+* **Mesh partitioning**: both impls register a ``custom_partitioning`` that
+  shards the kernel's batch dim with the operands, so DP-sharded jit
+  programs (multi-chip serving) keep the fused kernel instead of falling
+  back to the XLA composition.
 """
 
 from __future__ import annotations
@@ -169,6 +180,46 @@ def _cmm(are, aim, bre, bim, precision_name="highest"):
     )
 
 
+def _make_kernel_const(precision_name: str, group: int = 1):
+    """Kernel variant for a TRACE-TIME-CONSTANT propagation distance.
+
+    The serving refocus propagates every sample by the same fixed
+    ``-d_style`` (reference: test_field_retrieval_mnist.py:126), so the
+    transfer function ``H = exp(i d kz)`` and the global phasor are
+    precomputed once outside the kernel (XLA constant-folds them — ``d`` is
+    a literal) and passed in as two fp32 planes. That removes the per-image
+    VPU ``cos``/``sin`` over the (2H, 2W) grid plus the output phasor
+    rotation — at 128^2 that transcendental work is comparable to the DFT
+    matmuls' MXU time.
+    """
+
+    def kernel(xre_ref, xim_ref, are_ref, aim_ref, bre_ref, bim_ref,
+               cre_ref, cim_ref, dre_ref, dim_ref, hre_ref, him_ref,
+               yre_ref, yim_ref):
+        are, aim = are_ref[:], aim_ref[:]
+        bre, bim = bre_ref[:], bim_ref[:]
+        cre, cim = cre_ref[:], cim_ref[:]
+        dre, dim = dre_ref[:], dim_ref[:]
+        hre, him = hre_ref[:], him_ref[:]
+
+        for i in range(group):
+            # Padded fft2 as A @ x @ B (pad folded into the thin factors).
+            s1re, s1im = _cmm(are, aim, xre_ref[i], xim_ref[i], precision_name)
+            sre, sim = _cmm(s1re, s1im, bre, bim, precision_name)
+
+            # Precomputed transfer function (global phasor folded in).
+            tre = sre * hre - sim * him
+            tim = sre * him + sim * hre
+
+            # ifft2 + centre crop as C @ T @ D.
+            u1re, u1im = _cmm(cre, cim, tre, tim, precision_name)
+            ure, uim = _cmm(u1re, u1im, dre, dim, precision_name)
+            yre_ref[i] = ure
+            yim_ref[i] = uim
+
+    return kernel
+
+
 def _make_kernel(h: int, w: int, pad: bool, g_coef: float, precision_name: str,
                  group: int = 1):
     ph = h // 2 if pad else 0
@@ -275,15 +326,197 @@ def _propagate_pallas_impl(xre, xim, dist, *, wavelength, pixel_size, pad, inter
     return yre, yim
 
 
+@functools.partial(jax.jit, static_argnames=("distance", "wavelength", "pixel_size", "pad", "interpret", "precision_name", "group"))
+def _propagate_pallas_const_impl(xre, xim, *, distance, wavelength, pixel_size, pad, interpret, precision_name, group=1):
+    b, h, w = xre.shape
+    g = group if group >= 1 and b % group == 0 else 1
+    kernel = _make_kernel_const(precision_name, g)
+    ph = h // 2 if pad else 0
+    pw = w // 2 if pad else 0
+    fh, fw = h + 2 * ph, w + 2 * pw
+
+    are, aim, cre, cim = (jnp.asarray(m) for m in _folded_factors(h, fh))
+    if (w, fw) == (h, fh):
+        awre, awim, cwre, cwim = are, aim, cre, cim
+    else:
+        awre, awim, cwre, cwim = (jnp.asarray(m) for m in _folded_factors(w, fw))
+    bre, bim = awre.T, awim.T
+    dre, dim = cwre.T, cwim.T
+
+    # Transfer function for the static distance, built with the SAME fp32
+    # graph ops as the dynamic paths (kz grid, d * kz, cos/sin, output phasor
+    # d * 2pi/lambda) so numerics match; with ``distance`` a literal XLA
+    # constant-folds the whole block at compile time. The per-sample output
+    # phasor commutes with the linear C @ T @ D stage, so it is folded into
+    # H here and the kernel writes the crop product directly.
+    kz = _asm._kz_rel_grid(fh, fw, pixel_size=pixel_size, wavelength=wavelength)
+    d32 = jnp.float32(distance)
+    phase = d32 * kz
+    g_phase = d32 * jnp.float32(2.0 * math.pi / wavelength)
+    c, s = jnp.cos(phase), jnp.sin(phase)
+    gc, gs = jnp.cos(g_phase), jnp.sin(g_phase)
+    hre = c * gc - s * gs
+    him = s * gc + c * gs
+
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+    ]
+    yre, yim = pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=[
+            pl.BlockSpec((g, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            full((fh, h)),
+            full((fh, h)),
+            full((w, fw)),
+            full((w, fw)),
+            full((h, fh)),
+            full((h, fh)),
+            full((fw, w)),
+            full((fw, w)),
+            full((fh, fw)),
+            full((fh, fw)),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(xre, xim, are, aim, bre, bim, cre, cim, dre, dim, hre, him)
+    return yre, yim
+
+
+# --- GSPMD/Shardy partitioning -------------------------------------------
+#
+# A pallas_call is opaque to the auto-partitioners, which historically forced
+# every mesh-sharded program (DP serving, the train step) onto the XLA
+# propagator. The kernel is embarrassingly batch-parallel, so we register a
+# custom_partitioning around each impl: the batch dim follows the operands'
+# sharding (each shard runs the kernel on its local batch slice), the spatial
+# dims are forced replicated. Gradients never flow through these wrappers —
+# they sit inside custom_vjp forwards whose backwards delegate to XLA.
+
+
+def _batch_axis(arg_infos):
+    """The mesh axis (or None) the first operand's batch dim is sharded on."""
+    from jax.sharding import PartitionSpec
+
+    s = getattr(arg_infos[0], "sharding", None)
+    spec = s.spec if s is not None else PartitionSpec()
+    return spec[0] if len(spec) else None
+
+
+def _shard_for(mesh, b_axis, ndim):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return NamedSharding(mesh, PartitionSpec(b_axis, *([None] * (ndim - 1))))
+
+
+def _make_cp(impl_call, n_arrays, n_static, rule):
+    """Wrap ``impl_call(arrays..., statics...)`` in a custom_partitioning
+    that shards the leading batch dim and replicates the rest."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    cp = custom_partitioning(
+        impl_call, static_argnums=tuple(range(n_arrays, n_arrays + n_static))
+    )
+
+    def _infer(*args):
+        mesh, arg_infos = args[n_static], args[n_static + 1]
+        out = _shard_for(mesh, _batch_axis(arg_infos), 3)
+        return (out, out)
+
+    def _partition(*args):
+        statics = args[:n_static]
+        mesh, arg_infos = args[n_static], args[n_static + 1]
+        b_axis = _batch_axis(arg_infos)
+        arg_sh = tuple(
+            _shard_for(mesh, b_axis, len(info.shape)) for info in arg_infos
+        )
+        out = _shard_for(mesh, b_axis, 3)
+
+        def lower_fn(*arrays):
+            return impl_call(*arrays, *statics)
+
+        return mesh, lower_fn, (out, out), arg_sh
+
+    cp.def_partition(
+        infer_sharding_from_operands=_infer,
+        partition=_partition,
+        sharding_rule=rule,
+    )
+    return cp
+
+
+def _const_impl_call(xre, xim, distance, wavelength, pixel_size, pad, interpret,
+                     precision_name, group):
+    return _propagate_pallas_const_impl(
+        xre, xim, distance=distance, wavelength=wavelength,
+        pixel_size=pixel_size, pad=pad, interpret=interpret,
+        precision_name=precision_name, group=group,
+    )
+
+
+def _dyn_impl_call(xre, xim, dist, wavelength, pixel_size, pad, interpret,
+                   precision_name, group):
+    return _propagate_pallas_impl(
+        xre, xim, dist, wavelength=wavelength, pixel_size=pixel_size,
+        pad=pad, interpret=interpret, precision_name=precision_name,
+        group=group,
+    )
+
+
+_const_cp = _make_cp(
+    _const_impl_call, n_arrays=2, n_static=7,
+    rule="b i j, b i j -> b i j, b i j",
+)
+_dyn_cp = _make_cp(
+    _dyn_impl_call, n_arrays=3, n_static=6,
+    rule="b i j, b i j, b k -> b i j, b i j",
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _propagate_const_cvjp(field, distance, wavelength, pixel_size, pad, interpret, precision_name, group):
+    xre = jnp.real(field).astype(jnp.float32)
+    xim = jnp.imag(field).astype(jnp.float32)
+    yre, yim = _const_cp(
+        xre, xim, distance, wavelength, pixel_size, pad, interpret,
+        precision_name, group,
+    )
+    return jax.lax.complex(yre, yim)
+
+
+def _const_cvjp_fwd(field, distance, wavelength, pixel_size, pad, interpret, precision_name, group):
+    out = _propagate_const_cvjp(field, distance, wavelength, pixel_size, pad, interpret, precision_name, group)
+    return out, field
+
+
+def _const_cvjp_bwd(distance, wavelength, pixel_size, pad, interpret, precision_name, group, field, w_ct):
+    _, vjp = jax.vjp(
+        lambda f: _asm._propagate_xla(
+            f, distance, wavelength=wavelength, pixel_size=pixel_size, pad=pad
+        ),
+        field,
+    )
+    return vjp(w_ct)
+
+
+_propagate_const_cvjp.defvjp(_const_cvjp_fwd, _const_cvjp_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _propagate_cvjp(field, distance, wavelength, pixel_size, pad, interpret, precision_name, group):
     b = field.shape[0]
     xre = jnp.real(field).astype(jnp.float32)
     xim = jnp.imag(field).astype(jnp.float32)
-    yre, yim = _propagate_pallas_impl(
+    yre, yim = _dyn_cp(
         xre, xim, distance.reshape(b, 1),
-        wavelength=wavelength, pixel_size=pixel_size, pad=pad, interpret=interpret,
-        precision_name=precision_name, group=group,
+        wavelength, pixel_size, pad, interpret, precision_name, group,
     )
     return jax.lax.complex(yre, yim)
 
@@ -336,6 +569,25 @@ def propagate_pallas(
     h, w = field.shape[-2], field.shape[-1]
     b = int(np.prod(lead)) if lead else 1
     flat = field.reshape((b, h, w))
+
+    # Trace-time-constant distance (a Python/numpy scalar — NOT a tracer or
+    # device array): route to the const-H kernel, which skips the per-image
+    # transfer-phase cos/sin entirely. This is the serving refocus path
+    # (every sample propagates by the same static -d_style).
+    static_d = None
+    if isinstance(distance, (int, float)) and not isinstance(distance, bool):
+        static_d = float(distance)
+    elif isinstance(distance, (np.floating, np.integer)):
+        static_d = float(distance)
+    elif isinstance(distance, np.ndarray) and distance.size == 1:
+        static_d = float(distance.reshape(-1)[0])
+    if static_d is not None:
+        out = _propagate_const_cvjp(
+            flat, static_d, wavelength, pixel_size, pad, interpret,
+            _DFT_PRECISION, _GROUP_SIZE,
+        )
+        return out.reshape(field.shape)
+
     # Per-sample distance, shaped (b, 1, 1) so the XLA backward broadcasts
     # identically to ops.asm.propagate.
     dist = jnp.broadcast_to(

@@ -159,9 +159,11 @@ def propagate(
         field = field.astype(jnp.complex64)
     h, w = field.shape[-2], field.shape[-1]
 
-    # Per-call override first (e.g. the training step forces "xla": a
-    # pallas_call cannot be auto-partitioned by GSPMD, so mesh-sharded jit
-    # programs must stay on the XLA composition), else the module global.
+    # Per-call override first (e.g. the training step forces "xla" for
+    # bit-identical forward/backward physics — see train/losses.py), else the
+    # module global. Mesh-sharded programs may use the Pallas backend too: it
+    # registers a custom_partitioning that shards its batch dim with the
+    # operands (kernels/asm_pallas.py).
     explicit = backend is not None
     backend = backend or _BACKEND
     eligible = (

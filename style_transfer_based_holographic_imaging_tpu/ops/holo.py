@@ -19,12 +19,31 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
 from style_transfer_based_holographic_imaging_tpu.ops.asm import propagate
 from style_transfer_based_holographic_imaging_tpu.ops.unwrap import unwrap_phase
 
 __all__ = ["holo_forward", "back_prop"]
+
+
+def _to_metres_maybe_static(distance, physics: PhysicsConfig):
+    """De-normalize ``distance``, keeping Python scalars as Python floats.
+
+    A scalar distance that stays a Python float reaches the propagator as a
+    TRACE-TIME CONSTANT, which routes the Pallas ASM backend to its const-H
+    kernel (no per-image transfer-phase cos/sin — the serving refocus case)
+    and lets XLA constant-fold the transfer function elsewhere. The fp32
+    roundings of the device expression ``((d + c) * k) * 1e-3`` are mirrored
+    with numpy so the static and dynamic paths produce bit-identical phases.
+    """
+    if isinstance(distance, (int, float)) and not isinstance(distance, bool):
+        d32 = np.float32(distance)
+        c32 = np.float32(physics.distance_normalize_constant)
+        k32 = np.float32(physics.distance_normalize)
+        return float(((d32 + c32) * k32) * np.float32(1e-3))
+    return physics.to_metres(jnp.asarray(distance, dtype=jnp.float32))
 
 
 def holo_forward(
@@ -49,7 +68,7 @@ def holo_forward(
       with a DCT Poisson solver),
     * ``complex_number=True``: the raw complex field.
     """
-    d_m = physics.to_metres(jnp.asarray(distance, dtype=jnp.float32))
+    d_m = _to_metres_maybe_static(distance, physics)
     phase = jnp.asarray(phase, dtype=jnp.float32) * jnp.float32(physics.phase_normalize)
     amplitude = jnp.asarray(amplitude, dtype=jnp.float32)
 

@@ -86,8 +86,9 @@ def evaluate_synth_domain(
             return_gt=True,
         )
         holo = batch["content_holo"] ** 2  # retrieval takes intensity
-        d_style = jnp.full_like(batch["distance_style"], d_style_net)
-        out = fn(params, holo, sm, ss, d_style)
+        # Python float on purpose: hoisted to a static jit arg by the
+        # retrieval fn (trace-time-constant refocus distance).
+        out = fn(params, holo, sm, ss, float(d_style_net))
 
         if refine_steps:
             from style_transfer_based_holographic_imaging_tpu.pipelines.refine import (

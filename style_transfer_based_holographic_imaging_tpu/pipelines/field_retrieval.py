@@ -49,7 +49,7 @@ def retrieval_step(
     content_holo: jax.Array,
     style_mean: jax.Array,
     style_std: jax.Array,
-    distance_style: jax.Array,
+    distance_style: jax.Array | float,
     physics: PhysicsConfig,
     *,
     alpha: float = 1.0,
@@ -110,11 +110,24 @@ def retrieval_step(
 
     # Physics refocus to the object plane: propagate the style-plane field by
     # -d_style (test_field_retrieval_mnist.py:126 — including the
-    # -2*distance_normalize_constant term of its de-normalization).
-    refocus_d = (
-        -jnp.asarray(distance_style, jnp.float32)
-        - 2.0 * physics.distance_normalize_constant
-    )
+    # -2*distance_normalize_constant term of its de-normalization). A Python
+    # scalar distance_style stays a Python float (device fp32 roundings
+    # mirrored with numpy) so the refocus distance is a TRACE-TIME CONSTANT —
+    # the Pallas ASM backend then uses its const-transfer-function kernel
+    # with no per-image cos/sin (make_retrieval_fn hoists scalar style
+    # distances into a static jit argument for exactly this).
+    if isinstance(distance_style, (int, float)) and not isinstance(
+        distance_style, bool
+    ):
+        refocus_d = float(
+            -np.float32(distance_style)
+            - np.float32(2.0 * physics.distance_normalize_constant)
+        )
+    else:
+        refocus_d = (
+            -jnp.asarray(distance_style, jnp.float32)
+            - 2.0 * physics.distance_normalize_constant
+        )
     amp_foc, ph_foc = holo_forward(
         amp,
         ph * physics.phase_normalize,
@@ -154,9 +167,10 @@ def make_retrieval_fn(
     physics (FFT/complex) path always stays fp32. ``width`` selects a
     channel-scaled "fast profile" architecture (ModelConfig.width).
     ``quant_scales`` enables the int8 serving path (models/quant.py).
-    ``asm_backend`` overrides the propagator backend for the refocus —
-    mesh-sharded callers MUST pass "xla": a pallas_call cannot be
-    auto-partitioned by GSPMD (same constraint as train/losses.py).
+    ``asm_backend`` overrides the propagator backend for the refocus; the
+    default "auto" is safe under a device mesh too (the Pallas kernel
+    registers a custom_partitioning that shards its batch dim with the
+    operands — kernels/asm_pallas.py).
     """
     if dtype is not None or width != 1.0:
         net = StyleTransferNet(dtype=dtype or jnp.float32, width=width)
@@ -173,7 +187,45 @@ def make_retrieval_fn(
         quant_dtype=dtype or jnp.bfloat16,
         asm_backend=asm_backend,
     )
-    return jax.jit(step, donate_argnums=(1,) if donate else ())
+    donate_args = (1,) if donate else ()
+    # distance_style (positional arg 4) is the STYLE PLANE of the experiment
+    # — one scalar, not data. Hoisting it to a static jit argument makes the
+    # refocus distance a trace-time constant, unlocking the const-H Pallas
+    # ASM kernel (see retrieval_step). Scalar and all-equal-array styles are
+    # hoisted; a genuinely per-sample array falls back to the dynamic trace.
+    jit_static = jax.jit(step, static_argnums=(4,), donate_argnums=donate_args)
+    jit_dynamic = jax.jit(step, donate_argnums=donate_args)
+
+    def call(params, content_holo, style_mean, style_std, distance_style):
+        d = _hoist_scalar(distance_style)
+        if d is None:
+            return jit_dynamic(
+                params, content_holo, style_mean, style_std, distance_style
+            )
+        return jit_static(params, content_holo, style_mean, style_std, d)
+
+    return call
+
+
+def _hoist_scalar(distance_style) -> Optional[float]:
+    """A Python float if ``distance_style`` is a scalar or an all-equal
+    array (fetched once — these are tiny host-built fp32 arrays), else None."""
+    if isinstance(distance_style, (int, float)) and not isinstance(
+        distance_style, bool
+    ):
+        return float(distance_style)
+    if isinstance(distance_style, (np.floating, np.integer)):
+        return float(distance_style)
+    if isinstance(distance_style, jax.core.Tracer):
+        return None
+    arr = None
+    if isinstance(distance_style, np.ndarray):
+        arr = distance_style
+    elif isinstance(distance_style, jax.Array) and distance_style.size <= 4096:
+        arr = np.asarray(distance_style)
+    if arr is not None and arr.size >= 1 and (arr == arr.flat[0]).all():
+        return float(arr.flat[0])
+    return None
 
 
 def evaluate_golden_suite(
@@ -225,7 +277,9 @@ def evaluate_golden_suite(
     montage_batches = []
     for i in range(goldens.n_batches):
         holo = jnp.asarray(goldens.content_holo[i])
-        d_style = jnp.asarray(goldens.distance_style[i])
+        # Host numpy on purpose: the retrieval fn hoists all-equal style
+        # distances to a static jit arg without a device round-trip.
+        d_style = goldens.distance_style[i]
         out = fn(params, holo, sm, ss, d_style)
 
         if refine_steps:

@@ -84,8 +84,10 @@ def physics_refine(
     batch = max(int(phase0.shape[0]), 1)
 
     def data_residual(amp, phase, d):
-        # Mesh-sharded callers pass asm_backend="xla": a pallas_call cannot
-        # be auto-partitioned by GSPMD (ops/asm.py backend note).
+        # asm_backend is a caller preference (the Pallas backend is safe
+        # under a mesh — custom_partitioning in kernels/asm_pallas.py); the
+        # refinement forward is differentiated, so its backward runs the
+        # fp32 XLA path either way (the kernel's custom_vjp).
         synth = holo_forward(
             amp, phase, d, physics, asm_backend=asm_backend
         )  # intensity

@@ -102,8 +102,11 @@ class RetrievalService:
             if style_distance is None
             else style_distance
         )
-        d_s = self.config.physics.to_network_units(d_s_mm)
-        self._d_style = jnp.full((self.batch_size, 1, 1, 1), d_s, jnp.float32)
+        # Kept as a Python float: the retrieval fn hoists scalar style
+        # distances into a static jit argument (trace-time-constant refocus —
+        # const-H ASM kernel / XLA-folded transfer function), and a float
+        # needs no per-request hoist fetch or mesh placement.
+        self._d_style = float(self.config.physics.to_network_units(d_s_mm))
         if self._in_sharding is not None:
             from style_transfer_based_holographic_imaging_tpu.parallel import (
                 replicated,
@@ -111,11 +114,10 @@ class RetrievalService:
 
             self._sm = jax.device_put(self._sm, replicated(mesh))
             self._ss = jax.device_put(self._ss, replicated(mesh))
-            self._d_style = jax.device_put(self._d_style, self._in_sharding)
-        # Mesh-sharded serving must stay on the XLA propagator: the Pallas
-        # kernel (asm "auto" resolves to it on TPU) cannot be auto-partitioned
-        # by GSPMD (ops/asm.py backend note; train/losses.py does the same).
-        self._asm_backend = "xla" if mesh is not None else None
+        # Mesh-sharded serving can use the Pallas propagator: the kernel
+        # registers a custom_partitioning (kernels/asm_pallas.py) that shards
+        # its batch dim with the operands, so "auto" selection is safe.
+        self._asm_backend = None
         self._fn = make_retrieval_fn(
             self.config.physics,
             alpha=self.config.eval.alpha,

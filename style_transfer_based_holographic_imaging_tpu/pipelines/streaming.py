@@ -67,11 +67,11 @@ def stream_retrieval(
     path — measured ~27% more holograms/s at width 1.0 on v5e.
     """
     config = config or ExperimentConfig()
-    # Multi-device (DP-sharded) streams must stay on the XLA propagator: the
-    # Pallas kernel (asm "auto" on TPU) cannot be auto-partitioned by GSPMD.
-    asm_backend = (
-        "xla" if sharding is not None and len(sharding.device_set) > 1 else None
-    )
+    # DP-sharded streams can use the Pallas propagator too: the kernel
+    # registers a custom_partitioning (kernels/asm_pallas.py) that shards its
+    # batch dim with the operands, so "auto" backend selection is safe under
+    # a mesh.
+    asm_backend = None
     fn = make_retrieval_fn(
         config.physics,
         dtype=dtype,
@@ -113,8 +113,9 @@ def stream_retrieval(
         holo = batch["holo"]
         b_valid = valid_counts.pop(0)
         b = holo.shape[0]
-        d_style = jnp.full((b, 1, 1, 1), d_s, jnp.float32)
-        out = fn(params, holo, sm, ss, d_style)
+        # d_s is a Python float on purpose — the retrieval fn hoists it into
+        # a static jit arg (trace-time-constant refocus distance).
+        out = fn(params, holo, sm, ss, d_s)
         if refine_steps:
             from style_transfer_based_holographic_imaging_tpu.pipelines.refine import (
                 physics_refine,

@@ -67,8 +67,12 @@ def physics_cycle_loss(
 
     All tensors NCHW; distances in network units, broadcastable (B,1,1,1).
     """
-    # asm_backend="xla": the train step may be jitted over a device mesh
-    # (DP shardings) and a pallas_call cannot be auto-partitioned by GSPMD.
+    # asm_backend="xla": kept deliberately even though the Pallas kernel now
+    # auto-partitions under a mesh (custom_partitioning in
+    # kernels/asm_pallas.py) — training wants bit-identical forward/backward
+    # physics (the Pallas forward is a 3-pass bf16 DFT while its backward
+    # delegates to the fp32 XLA path), and the train step is conv-dominated
+    # so the fused propagate buys nothing measurable here.
     # Separation in network units: to_metres adds distance_normalize_constant
     # ONCE, so the plane separation (d_c+c) - (d_s+c) needs the constant
     # subtracted from the difference (same algebra as retrieval_step's

@@ -89,3 +89,55 @@ def test_band_limit_matches_single_device():
     # and the mask matters: unmasked differs at these distances
     nomask = np.asarray(asm._propagate_xla(f, d, **KW))
     assert np.abs(nomask - ref).max() / np.abs(ref).max() > 1e-3
+
+
+class TestMeshShardedPallas:
+    """The Pallas ASM kernel under a DP (batch-sharded) mesh: its
+    custom_partitioning (kernels/asm_pallas.py) shards the batch dim with
+    the operands, so mesh-sharded jit programs no longer need the XLA
+    backend. Parity target: the single-device XLA composition."""
+
+    @pytest.fixture(autouse=True)
+    def _fp32_dft(self):
+        from style_transfer_based_holographic_imaging_tpu.kernels import asm_pallas
+
+        asm_pallas.set_dft_precision("highest")
+        yield
+        asm_pallas.set_dft_precision("high")
+
+    def _batch_sharded(self, mesh, x):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+
+    def test_const_distance_batch_sharded(self):
+        from style_transfer_based_holographic_imaging_tpu.kernels import (
+            propagate_pallas,
+        )
+
+        mesh = make_mesh(8)
+        f = _field(b=16)
+        fs = self._batch_sharded(mesh, f)
+        run = jax.jit(lambda x: propagate_pallas(x, 5e-4, **KW, interpret=True))
+        out = run(fs)
+        ref = np.asarray(asm._propagate_xla(f, 5e-4, **KW))
+        assert np.abs(np.asarray(out) - ref).max() / np.abs(ref).max() < 1e-5
+        # output must stay batch-sharded (no gather inserted)
+        assert out.sharding.spec[0] == "data"
+
+    def test_dynamic_distance_batch_sharded(self):
+        from style_transfer_based_holographic_imaging_tpu.kernels import (
+            propagate_pallas,
+        )
+
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(1)
+        f = _field(b=16, seed=2)
+        d = jnp.asarray(rng.uniform(2e-4, 8e-4, (16, 1, 1, 1)).astype(np.float32))
+        fs = self._batch_sharded(mesh, f)
+        ds = self._batch_sharded(mesh, d)
+        run = jax.jit(lambda x, dd: propagate_pallas(x, dd, **KW, interpret=True))
+        out = run(fs, ds)
+        ref = np.asarray(asm._propagate_xla(f, d, **KW))
+        assert np.abs(np.asarray(out) - ref).max() / np.abs(ref).max() < 1e-5
+        assert out.sharding.spec[0] == "data"

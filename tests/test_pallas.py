@@ -90,6 +90,90 @@ class TestPallasParity:
         )
 
 
+class TestConstDistancePath:
+    """The static-distance (const transfer function) kernel variant: a
+    Python-scalar ``distance`` routes to ``_propagate_pallas_const_impl``
+    (no per-image cos/sin — the serving-refocus case)."""
+
+    @pytest.fixture(autouse=True)
+    def _fp32_dft(self):
+        from style_transfer_based_holographic_imaging_tpu.kernels import asm_pallas
+
+        asm_pallas.set_dft_precision("highest")
+        yield
+        asm_pallas.set_dft_precision("high")
+
+    def test_const_matches_dynamic(self):
+        f = _rand_field()
+        d = jnp.full((2, 1, 1, 1), 5e-4, jnp.float32)
+        dyn = np.asarray(propagate_pallas(f, d, **KW, interpret=True))
+        con = np.asarray(propagate_pallas(f, 5e-4, **KW, interpret=True))
+        assert np.abs(dyn - con).max() / np.abs(dyn).max() < 1e-5
+
+    def test_numpy_scalar_and_size1_array_hoist(self):
+        f = _rand_field(b=1)
+        ref = np.asarray(propagate_pallas(f, 5e-4, **KW, interpret=True))
+        for d in (np.float32(5e-4), np.asarray([5e-4], np.float32),
+                  np.full((1, 1, 1, 1), 5e-4, np.float32)):
+            out = np.asarray(propagate_pallas(f, d, **KW, interpret=True))
+            assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-6
+
+    def test_const_field_gradient(self):
+        f = _rand_field()
+        target = _rand_field(seed=3)
+
+        def loss(fn):
+            return lambda x: jnp.sum(jnp.abs(fn(x) - target) ** 2)
+
+        g_ref = jax.grad(loss(lambda x: asm._propagate_xla(x, 5e-4, **KW)))(f)
+        g_pal = jax.grad(
+            loss(lambda x: propagate_pallas(x, 5e-4, **KW, interpret=True))
+        )(f)
+        np.testing.assert_allclose(
+            np.asarray(g_ref), np.asarray(g_pal), rtol=1e-3, atol=1e-4
+        )
+
+    def test_tracer_distance_stays_dynamic(self):
+        """Inside jit a traced distance must NOT be hoisted (no leak)."""
+        f = _rand_field(b=1)
+
+        @jax.jit
+        def run(dd):
+            return propagate_pallas(f, dd, **KW, interpret=True)
+
+        a = np.asarray(run(jnp.full((1, 1, 1, 1), 3e-4, jnp.float32)))
+        b = np.asarray(asm._propagate_xla(f, 3e-4, **KW))
+        assert np.abs(a - b).max() / np.abs(b).max() < 1e-5
+
+
+class TestScalarHoist:
+    """make_retrieval_fn's static-distance hoisting (pipelines)."""
+
+    def test_hoist_scalar_variants(self):
+        from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
+            _hoist_scalar,
+        )
+
+        assert _hoist_scalar(0.2) == 0.2
+        assert _hoist_scalar(np.float32(0.5)) == np.float32(0.5)
+        assert _hoist_scalar(np.full((5, 1, 1, 1), 0.2, np.float32)) == np.float32(0.2)
+        assert _hoist_scalar(jnp.full((3, 1, 1, 1), 0.2)) == np.float32(0.2)
+        # per-sample (non-equal) distances must stay dynamic
+        assert _hoist_scalar(np.asarray([0.1, 0.2], np.float32)) is None
+
+    def test_static_to_metres_matches_device(self):
+        from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
+        from style_transfer_based_holographic_imaging_tpu.ops.holo import (
+            _to_metres_maybe_static,
+        )
+
+        phys = PhysicsConfig(distance_normalize=25.0, distance_normalize_constant=0.3)
+        d = 0.417
+        static = _to_metres_maybe_static(d, phys)
+        device = float(np.asarray(phys.to_metres(jnp.float32(d))))
+        assert static == device
+
+
 class TestBackendRouter:
     def test_set_backend_roundtrip(self):
         asm.set_asm_backend("pallas")
