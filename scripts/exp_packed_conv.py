@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--width", type=float, default=1.0,
+                    help="channel-width multiplier (0.25 = the ultra tier)")
     args = ap.parse_args()
 
     import numpy as np
@@ -65,11 +67,13 @@ def main():
 
     _DN = ("NHWC", "HWIO", "NHWC")
     b = args.batch
+    c1 = max(int(round(64 * args.width)), 1)   # width-scaled level-1 channels
+    c2 = max(int(round(128 * args.width)), 1)  # width-scaled level-2 channels
     dt = jnp.bfloat16
     rng = np.random.default_rng(0)
     mk = lambda i, o: jnp.asarray(rng.standard_normal((3, 3, i, o), np.float32) * 0.05)
     mb = lambda o: jnp.asarray(rng.standard_normal((o,), np.float32) * 0.05)
-    print(f"devices: {jax.devices()}  batch={b}", flush=True)
+    print(f"devices: {jax.devices()}  batch={b} width={args.width} (c1={c1}, c2={c2})", flush=True)
 
     def ref_conv(x, k, bias, relu=True):
         y = jax.lax.conv_general_dilated(
@@ -93,8 +97,8 @@ def main():
 
     # ---------------- head: conv1_1(folded, 1->64) -> conv1_2 -> pool ----
     x_head = jnp.asarray(rng.random((b, 128, 128, 1), np.float32), dt)
-    k1, b1 = mk(1, 64), mb(64)
-    k2, b2 = mk(64, 64), mb(64)
+    k1, b1 = mk(1, c1), mb(c1)
+    k2, b2 = mk(c1, c1), mb(c1)
     am = jnp.float32(4.0)
 
     def head_ref(x):
@@ -120,12 +124,12 @@ def main():
     print(f"head : xla {tr:7.2f} | packed {tp:7.2f} ({tr/tp:4.2f}x) | packed-int8 {tq:7.2f} ({tr/tq:4.2f}x)  err={err:.2e}", flush=True)
 
     # ---------------- tail: up2(128->64) -> conv8 -> conv9 -> conv10 -----
-    x_tail = jnp.asarray(rng.standard_normal((b, 64, 64, 128), np.float32), dt)
-    ku = jnp.asarray(rng.standard_normal((128, 64, 2, 2), np.float32) * 0.05)
-    bu = mb(64)
-    k8, b8 = mk(64, 64), mb(64)
-    k9, b9 = mk(64, 64), mb(64)
-    k10, b10 = mk(64, 2), mb(2)
+    x_tail = jnp.asarray(rng.standard_normal((b, 64, 64, c2), np.float32), dt)
+    ku = jnp.asarray(rng.standard_normal((c2, c1, 2, 2), np.float32) * 0.05)
+    bu = mb(c1)
+    k8, b8 = mk(c1, c1), mb(c1)
+    k9, b9 = mk(c1, c1), mb(c1)
+    k10, b10 = mk(c1, 2), mb(2)
 
     def deconv_ref(x):
         k = jnp.transpose(ku.astype(dt), (2, 3, 1, 0))
@@ -179,7 +183,7 @@ def main():
     t2 = timeit(f2, x_tail, iters=args.iters)
     print(f"up2  : conv_transpose {t1:7.2f} | packed matmul {t2:7.2f} ({t1/t2:4.2f}x)", flush=True)
 
-    y128 = jnp.asarray(rng.standard_normal((b, 128, 128, 64), np.float32), dt)
+    y128 = jnp.asarray(rng.standard_normal((b, 128, 128, c1), np.float32), dt)
     f3 = jax.jit(lambda x: ref_conv(x, k10, b10, relu=False))
     f4 = jax.jit(
         lambda x: unpack_image(
