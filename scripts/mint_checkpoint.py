@@ -41,6 +41,9 @@ def main():
                     "to ~50%% — the reference trains on the MNIST distribution "
                     "its test set is drawn from; sklearn-only provably does not "
                     "transfer)")
+    ap.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32",
+                    help="conv compute dtype; bfloat16 = mixed-precision "
+                         "training (fp32 params/losses, ~MXU 2x)")
     ap.add_argument("--width", type=float, default=1.0,
                     help="fast-profile channel multiplier (1.0 = reference-exact)")
     ap.add_argument("--cpu", action="store_true")
@@ -76,7 +79,7 @@ def main():
     from style_transfer_based_holographic_imaging_tpu.train import train, save_checkpoint
 
     cfg = ExperimentConfig(
-        model=ModelConfig(width=args.width),
+        model=ModelConfig(width=args.width, dtype=args.dtype),
         data=DataConfig(batch_size=args.batch_size, seed=args.seed),
         train=TrainConfig(
             iterations=args.iterations,

@@ -56,6 +56,8 @@ def main():
     ap.add_argument("--refine", type=int, default=100)
     ap.add_argument("--promote", action="store_true",
                     help="copy release artifacts into checkpoints/")
+    ap.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32",
+                    help="conv compute dtype; bfloat16 = mixed-precision training")
     ap.add_argument("--width", type=float, default=1.0,
                     help="fast-profile channel multiplier (1.0 = reference-exact)")
     ap.add_argument("--cpu", action="store_true")
@@ -103,7 +105,7 @@ def main():
     preset = DOMAIN_PRESETS[args.domain]()
     cfg = ExperimentConfig(
         name=preset.name,
-        model=ModelConfig(width=args.width),
+        model=ModelConfig(width=args.width, dtype=args.dtype),
         physics=preset.physics,
         data=dataclasses.replace(
             preset.data, batch_size=args.batch_size, seed=args.seed

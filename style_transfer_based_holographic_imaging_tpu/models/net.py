@@ -167,11 +167,16 @@ class StyleTransferNet(nn.Module):
             g_t_phase = self.decoder_ph(t)[..., 0:1]  # see field_retrieval
         g_t_feats = self.encode_with_intermediate(g_t)
 
-        loss_c = jnp.mean((g_t_feats[-1] - jax.lax.stop_gradient(t)) ** 2)
+        # Loss math in fp32 regardless of the conv compute dtype: a bf16
+        # squared-error mean over 10^5+ elements loses ~3 significant digits
+        # to accumulation, which is visible loss noise under mixed-precision
+        # training (dtype=bfloat16); the casts are free for the fp32 path.
+        f32 = lambda x: x.astype(jnp.float32)
+        loss_c = jnp.mean((f32(g_t_feats[-1]) - f32(jax.lax.stop_gradient(t))) ** 2)
         loss_s = jnp.float32(0.0)
         for gf, sf in zip(g_t_feats, style_feats):
-            gm, gs = calc_mean_std(gf)
-            sm, ss = calc_mean_std(jax.lax.stop_gradient(sf))
+            gm, gs = calc_mean_std(f32(gf))
+            sm, ss = calc_mean_std(f32(jax.lax.stop_gradient(sf)))
             loss_s = loss_s + jnp.mean((gm - sm) ** 2) + jnp.mean((gs - ss) ** 2)
 
         out = {

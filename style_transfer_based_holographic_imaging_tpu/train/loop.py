@@ -50,6 +50,20 @@ from style_transfer_based_holographic_imaging_tpu.train.state import TrainState
 __all__ = ["generator_loss_fn", "make_train_step", "train"]
 
 
+def _compute_dtype(name: str):
+    """ModelConfig.dtype string -> jnp dtype for the conv compute path.
+
+    "bfloat16" enables mixed-precision training: bf16 convs on the MXU
+    (2x the fp32 rate on v5e) with fp32 params/optimizer and fp32 loss
+    accumulation (see generator_loss_fn's upcasts and net.forward).
+    """
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if name in ("float32", "fp32"):
+        return jnp.float32
+    raise ValueError(f"unsupported ModelConfig.dtype {name!r}")
+
+
 def _nhwc(x):
     return jnp.transpose(x, (0, 2, 3, 1))
 
@@ -92,10 +106,13 @@ def generator_loss_fn(
         apply_net = jax.checkpoint(apply_net)
     out = apply_net(params, content, style, rng)
 
-    amp_t = _nchw(out["g_t"])          # decoded style-plane amplitude
-    ph_t = _nchw(out["g_t_phase"])     # decoded style-plane phase
-    d_c_pred = out["d_content"]
-    d_s_pred = out["d_style"]
+    # Upcast at the loss boundary: with a bf16 compute dtype (mixed-precision
+    # training, ModelConfig.dtype) the decoder/head outputs are bf16; every
+    # loss term below must accumulate in fp32.
+    amp_t = _nchw(out["g_t"]).astype(jnp.float32)    # style-plane amplitude
+    ph_t = _nchw(out["g_t_phase"]).astype(jnp.float32)  # style-plane phase
+    d_c_pred = out["d_content"].astype(jnp.float32)
+    d_s_pred = out["d_style"].astype(jnp.float32)
 
     loss = cfg.content_weight * out["loss_content"]
     loss = loss + cfg.style_weight * out["loss_style"]
@@ -300,7 +317,9 @@ def train(
 
     cfg = config.train
     physics = config.physics
-    net = StyleTransferNet(width=config.model.width)
+    net = StyleTransferNet(
+        width=config.model.width, dtype=_compute_dtype(config.model.dtype)
+    )
     if bank is None:
         bank = sklearn_digit_bank()
     if state is None:

@@ -363,3 +363,51 @@ def test_to_network_units_inverts_to_metres():
         d_mm = np.array([0.2, 0.6, 6.0, 20.0])
         net = physics.to_network_units(d_mm)
         np.testing.assert_allclose(physics.to_metres(net), d_mm * 1e-3, rtol=1e-12)
+
+
+class TestMixedPrecisionTrain:
+    """ModelConfig.dtype="bfloat16": bf16 conv compute, fp32 params/losses."""
+
+    def test_bf16_step_runs_fp32_params(self, bank, small_params):
+        cfg = TrainConfig(checkpoint_every=0, adv_weight=0.0)
+        net = StyleTransferNet(dtype=jnp.bfloat16)
+        state = create_train_state(jax.device_get(small_params), cfg)
+        step_fn = make_train_step(net, PHYSICS, cfg)
+        batch = synth_batch(
+            jax.random.key(0), jnp.asarray(bank), data=SMALL_DATA,
+            physics=PHYSICS, return_gt=True,
+        )
+        new_state, aux = step_fn(state, batch, jax.random.key(1))
+        for k, v in aux.items():
+            assert np.isfinite(np.asarray(v, np.float32)).all(), k
+        # params and every loss stay fp32 under the bf16 compute path
+        for leaf in jax.tree.leaves(new_state.params):
+            assert leaf.dtype == jnp.float32
+        assert aux["loss_total"].dtype == jnp.float32
+
+    def test_bf16_losses_close_to_fp32(self, bank, small_params):
+        cfg = TrainConfig(checkpoint_every=0, adv_weight=0.0)
+        batch = synth_batch(
+            jax.random.key(0), jnp.asarray(bank), data=SMALL_DATA,
+            physics=PHYSICS, return_gt=True,
+        )
+        losses = {}
+        for name, dt in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+            net = StyleTransferNet(dtype=dt)
+            state = create_train_state(jax.device_get(small_params), cfg)
+            step_fn = make_train_step(net, PHYSICS, cfg)
+            _, aux = step_fn(state, batch, jax.random.key(1))
+            losses[name] = float(aux["loss_total"])
+        # bf16 conv rounding moves the loss a little, not qualitatively
+        rel = abs(losses["bf16"] - losses["fp32"]) / abs(losses["fp32"])
+        assert rel < 0.05, losses
+
+    def test_compute_dtype_parse(self):
+        from style_transfer_based_holographic_imaging_tpu.train.loop import (
+            _compute_dtype,
+        )
+
+        assert _compute_dtype("bfloat16") == jnp.bfloat16
+        assert _compute_dtype("float32") == jnp.float32
+        with pytest.raises(ValueError):
+            _compute_dtype("fp16")
