@@ -80,8 +80,9 @@ def main():
 
     def make_args(batch):
         holo = jnp.asarray(rng.random((batch, 1, 128, 128), np.float32) * 0.6 + 0.05)
-        d_style = jnp.full((batch, 1, 1, 1), 0.2, jnp.float32)
-        return (params, holo, sm, ss, d_style)
+        # Python float on purpose: the retrieval fn hoists scalar style
+        # distances to a static jit arg (const-H ASM serving kernel).
+        return (params, holo, sm, ss, 0.2)
 
     # Round 1: backend shoot-out at batch 256.
     results = {}
@@ -189,11 +190,10 @@ def main():
             holo = jnp.asarray(
                 rng_u.random((b_u, 1, 128, 128), np.float32) * 0.6 + 0.05
             )
-            d_u = jnp.full((b_u, 1, 1, 1), 0.2, jnp.float32)
             got = _time_fn(
                 fn_u,
                 (tier_params, holo, jnp.asarray(sv["mean"]),
-                 jnp.asarray(sv["std"]), d_u),
+                 jnp.asarray(sv["std"]), 0.2),
                 b_u,
             )
             print(

@@ -51,15 +51,15 @@ def main():
     field = jax.jit(jax.lax.complex)(amp, ph)  # on-device complex build
     d_dyn = jnp.asarray(rng.uniform(2e-4, 9e-4, (b, 1, 1, 1)).astype(np.float32))
 
-    def timeit(fn, label, red):
-        out = fn()
+    def timeit(fn, label, red, *fargs):
+        out = fn(*fargs)
         float(jax.device_get(red(out)))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             acc = None
             for _ in range(args.iters):
-                out = fn()
+                out = fn(*fargs)
                 s = red(out)
                 acc = s if acc is None else acc + s
             float(jax.device_get(acc))
@@ -68,29 +68,33 @@ def main():
               file=sys.stderr)
         return best
 
-    prop = jax.jit(lambda: propagate_pallas(field, -4e-4, **kw))
-    t_prop = timeit(prop, "prop", lambda o: jnp.sum(jnp.abs(o)))
+    # NB: every device array is passed as a jit ARGUMENT — a closed-over
+    # concrete array is embedded as an HLO constant at lowering, which
+    # requires a host fetch; fetching complex64 through the axon transport
+    # raises UNIMPLEMENTED (CLAUDE.md).
+    prop = jax.jit(lambda f: propagate_pallas(f, -4e-4, **kw))
+    t_prop = timeit(prop, "prop", lambda o: jnp.sum(jnp.abs(o)), field)
 
     @jax.jit
-    def prop_io():
-        obj = jax.lax.complex(amp * jnp.cos(ph), amp * jnp.sin(ph))
+    def prop_io(a, p):
+        obj = jax.lax.complex(a * jnp.cos(p), a * jnp.sin(p))
         out = propagate_pallas(obj, -4e-4, **kw)
         return jnp.abs(out), jnp.angle(out)
 
-    t_io = timeit(prop_io, "prop+io", lambda o: jnp.sum(o[0]) + jnp.sum(o[1]))
+    t_io = timeit(prop_io, "prop+io",
+                  lambda o: jnp.sum(o[0]) + jnp.sum(o[1]), amp, ph)
 
     @jax.jit
-    def prop_io_dyn():
-        obj = jax.lax.complex(amp * jnp.cos(ph), amp * jnp.sin(ph))
-        out = propagate_pallas(obj, d_dyn, **kw)
+    def prop_io_dyn(a, p, dd):
+        obj = jax.lax.complex(a * jnp.cos(p), a * jnp.sin(p))
+        out = propagate_pallas(obj, dd, **kw)
         return jnp.abs(out), jnp.angle(out)
 
     t_dyn = timeit(prop_io_dyn, "prop+io+dyn",
-                   lambda o: jnp.sum(o[0]) + jnp.sum(o[1]))
+                   lambda o: jnp.sum(o[0]) + jnp.sum(o[1]), amp, ph, d_dyn)
 
     # angle alone (atan2 cost check)
-    t_angle = timeit(jax.jit(lambda: jnp.angle(field)), "angle",
-                     lambda o: jnp.sum(o))
+    t_angle = timeit(jax.jit(jnp.angle), "angle", lambda o: jnp.sum(o), field)
 
     result = {
         "batch": b,
@@ -134,8 +138,8 @@ def main():
             holo = jnp.asarray(
                 rng.random((b_u, 1, 128, 128), np.float32) * 0.6 + 0.05
             )
-            t = timeit(lambda: fn(params, holo, sm, ss, 0.2), f"ultra b={b_u}",
-                       lambda o: jnp.sum(o["ph_foc"]))
+            t = timeit(lambda h: fn(params, h, sm, ss, 0.2), f"ultra b={b_u}",
+                       lambda o: jnp.sum(o["ph_foc"]), holo)
             result[f"ultra_b{b_u}_holo_s"] = round(b_u / t, 1)
 
     print(json.dumps(result))

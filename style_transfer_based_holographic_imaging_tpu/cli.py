@@ -265,9 +265,12 @@ def cmd_train(args):
         DOMAIN_PRESETS,
         DataConfig,
         ExperimentConfig,
+        ModelConfig,
         TrainConfig,
     )
     from style_transfer_based_holographic_imaging_tpu.train import train
+
+    model_cfg = ModelConfig(dtype=args.dtype)
 
     train_cfg = TrainConfig(
         iterations=args.iterations,
@@ -291,6 +294,7 @@ def cmd_train(args):
         cfg = ExperimentConfig(
             name=preset.name,
             physics=preset.physics,
+            model=model_cfg,
             data=dataclasses.replace(
                 preset.data, batch_size=args.batch_size, seed=args.seed
             ),
@@ -298,6 +302,7 @@ def cmd_train(args):
         )
     else:
         cfg = ExperimentConfig(
+            model=model_cfg,
             data=DataConfig(batch_size=args.batch_size, seed=args.seed),
             train=train_cfg,
         )
@@ -884,6 +889,9 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", type=str, default="checkpoints")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--train-encoder", action="store_true")
+    p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32",
+                   help="conv compute dtype; bfloat16 = mixed-precision "
+                        "training (fp32 params/losses, measured 1.4x it/s)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the newest iter_* snapshot in --checkpoint-dir")
     p.add_argument("--supervised-weight", type=float, default=10.0)

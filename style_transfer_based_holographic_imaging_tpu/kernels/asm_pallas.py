@@ -52,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from style_transfer_based_holographic_imaging_tpu.ops import asm as _asm
+from style_transfer_based_holographic_imaging_tpu.utils import misc as _misc
 
 __all__ = ["propagate_pallas"]
 
@@ -570,17 +571,11 @@ def propagate_pallas(
     b = int(np.prod(lead)) if lead else 1
     flat = field.reshape((b, h, w))
 
-    # Trace-time-constant distance (a Python/numpy scalar — NOT a tracer or
-    # device array): route to the const-H kernel, which skips the per-image
+    # Trace-time-constant distance (a host scalar — NOT a tracer or device
+    # array): route to the const-H kernel, which skips the per-image
     # transfer-phase cos/sin entirely. This is the serving refocus path
     # (every sample propagates by the same static -d_style).
-    static_d = None
-    if isinstance(distance, (int, float)) and not isinstance(distance, bool):
-        static_d = float(distance)
-    elif isinstance(distance, (np.floating, np.integer)):
-        static_d = float(distance)
-    elif isinstance(distance, np.ndarray) and distance.size == 1:
-        static_d = float(distance.reshape(-1)[0])
+    static_d = _misc.static_scalar(distance)
     if static_d is not None:
         out = _propagate_const_cvjp(
             flat, static_d, wavelength, pixel_size, pad, interpret,

@@ -24,6 +24,7 @@ import numpy as np
 from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
 from style_transfer_based_holographic_imaging_tpu.ops.asm import propagate
 from style_transfer_based_holographic_imaging_tpu.ops.unwrap import unwrap_phase
+from style_transfer_based_holographic_imaging_tpu.utils.misc import static_scalar
 
 __all__ = ["holo_forward", "back_prop"]
 
@@ -38,8 +39,9 @@ def _to_metres_maybe_static(distance, physics: PhysicsConfig):
     roundings of the device expression ``((d + c) * k) * 1e-3`` are mirrored
     with numpy so the static and dynamic paths produce bit-identical phases.
     """
-    if isinstance(distance, (int, float)) and not isinstance(distance, bool):
-        d32 = np.float32(distance)
+    s = static_scalar(distance)
+    if s is not None:
+        d32 = np.float32(s)
         c32 = np.float32(physics.distance_normalize_constant)
         k32 = np.float32(physics.distance_normalize)
         return float(((d32 + c32) * k32) * np.float32(1e-3))

@@ -20,6 +20,7 @@ XLA.
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -33,6 +34,7 @@ from style_transfer_based_holographic_imaging_tpu.config import (
 from style_transfer_based_holographic_imaging_tpu.models import StyleTransferNet
 from style_transfer_based_holographic_imaging_tpu.ops import holo_forward
 from style_transfer_based_holographic_imaging_tpu.eval.metrics import psnr, mae
+from style_transfer_based_holographic_imaging_tpu.utils.misc import static_scalar
 
 __all__ = ["retrieval_step", "make_retrieval_fn", "evaluate_golden_suite"]
 
@@ -116,11 +118,10 @@ def retrieval_step(
     # the Pallas ASM backend then uses its const-transfer-function kernel
     # with no per-image cos/sin (make_retrieval_fn hoists scalar style
     # distances into a static jit argument for exactly this).
-    if isinstance(distance_style, (int, float)) and not isinstance(
-        distance_style, bool
-    ):
+    d_static = static_scalar(distance_style)
+    if d_static is not None:
         refocus_d = float(
-            -np.float32(distance_style)
+            -np.float32(d_static)
             - np.float32(2.0 * physics.distance_normalize_constant)
         )
     else:
@@ -195,34 +196,69 @@ def make_retrieval_fn(
     # hoisted; a genuinely per-sample array falls back to the dynamic trace.
     jit_static = jax.jit(step, static_argnums=(4,), donate_argnums=donate_args)
     jit_dynamic = jax.jit(step, donate_argnums=donate_args)
+    # Every distinct hoisted value is a full retrace + XLA compile (minutes
+    # on the remote TPU). A serving deployment uses one style plane, so a
+    # handful of values is normal; a caller sweeping style distances is not
+    # — after the cap, fall back to the (single) dynamic program.
+    seen_static: set = set()
 
     def call(params, content_holo, style_mean, style_std, distance_style):
         d = _hoist_scalar(distance_style)
-        if d is None:
-            return jit_dynamic(
-                params, content_holo, style_mean, style_std, distance_style
-            )
-        return jit_static(params, content_holo, style_mean, style_std, d)
+        if d is not None and (d in seen_static or len(seen_static) < 4):
+            seen_static.add(d)
+            return jit_static(params, content_holo, style_mean, style_std, d)
+        if d is not None:
+            # keep the value dynamic: a host scalar jits as a 0-d operand
+            distance_style = jnp.float32(d)
+        return jit_dynamic(
+            params, content_holo, style_mean, style_std, distance_style
+        )
 
+    call._seen_static = seen_static  # introspection for tests
     return call
 
 
+# Cache for device-array style distances: fetching one through the remote-TPU
+# transport is a synchronous round trip, so a caller re-using the same array
+# object every batch (the natural serving shape) must pay it once, not per
+# call. Keyed by id() with a weakref guard against id reuse after GC.
+_HOIST_CACHE: dict = {}
+_HOIST_CACHE_MAX = 64
+
+
 def _hoist_scalar(distance_style) -> Optional[float]:
-    """A Python float if ``distance_style`` is a scalar or an all-equal
-    array (fetched once — these are tiny host-built fp32 arrays), else None."""
-    if isinstance(distance_style, (int, float)) and not isinstance(
-        distance_style, bool
-    ):
-        return float(distance_style)
-    if isinstance(distance_style, (np.floating, np.integer)):
-        return float(distance_style)
+    """A Python float if ``distance_style`` is a host scalar or an all-equal
+    array, else None (genuinely per-sample distances stay dynamic).
+
+    Device (jax) arrays are fetched at most once per array object (see
+    ``_HOIST_CACHE``); non-fully-addressable arrays (multi-process meshes)
+    are never fetched.
+    """
+    s = static_scalar(distance_style)
+    if s is not None:
+        return s
     if isinstance(distance_style, jax.core.Tracer):
         return None
     arr = None
     if isinstance(distance_style, np.ndarray):
         arr = distance_style
     elif isinstance(distance_style, jax.Array) and distance_style.size <= 4096:
+        key = id(distance_style)
+        hit = _HOIST_CACHE.get(key)
+        if hit is not None and hit[0]() is distance_style:
+            return hit[1]
+        if not distance_style.is_fully_addressable:
+            return None
         arr = np.asarray(distance_style)
+        val = (
+            float(arr.flat[0])
+            if arr.size >= 1 and (arr == arr.flat[0]).all()
+            else None
+        )
+        if len(_HOIST_CACHE) >= _HOIST_CACHE_MAX:
+            _HOIST_CACHE.clear()
+        _HOIST_CACHE[key] = (weakref.ref(distance_style), val)
+        return val
     if arr is not None and arr.size >= 1 and (arr == arr.flat[0]).all():
         return float(arr.flat[0])
     return None

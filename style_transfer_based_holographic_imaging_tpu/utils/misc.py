@@ -12,7 +12,30 @@ __all__ = [
     "center_crop_numpy",
     "amp_pha_from_real_imag",
     "receptive_field",
+    "static_scalar",
 ]
+
+
+def static_scalar(x) -> float | None:
+    """``float(x)`` if ``x`` is a host scalar, else None.
+
+    THE single detector for "this value is trace-time configuration, not
+    data": Python int/float (not bool), numpy scalar, or a size-1 numpy
+    array. Device (jax) arrays and tracers return None — deciding whether
+    to fetch those is a caller policy (see
+    pipelines.field_retrieval._hoist_scalar). Every static-distance fast
+    path (ops.holo, ops.asm's Pallas routing, pipelines.field_retrieval)
+    shares this so their accepted types cannot drift apart.
+    """
+    if isinstance(x, bool):
+        return None
+    if isinstance(x, (int, float)):
+        return float(x)
+    if isinstance(x, (np.floating, np.integer)):
+        return float(x)
+    if isinstance(x, np.ndarray) and x.size == 1:
+        return float(x.reshape(-1)[0])
+    return None
 
 
 def standardization(x):

@@ -54,6 +54,16 @@ class TestPallasParity:
         b = np.asarray(propagate_pallas(f, 2e-4, pad=False, **KW, interpret=True))
         assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
 
+    def test_no_pad_variant_dynamic(self):
+        """pad=False through the DYNAMIC kernel — an ARRAY distance so the
+        const-H routing (which test_no_pad_variant now exercises) cannot
+        absorb this case."""
+        f = _rand_field()
+        d = jnp.asarray([[[[2e-4]]], [[[6e-4]]]], jnp.float32)
+        a = np.asarray(asm._propagate_xla(f, d, pad=False, **KW))
+        b = np.asarray(propagate_pallas(f, d, pad=False, **KW, interpret=True))
+        assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
+
     def test_field_gradient_matches(self):
         f = _rand_field()
         d = jnp.full((2, 1, 1, 1), 4e-4, jnp.float32)
@@ -160,6 +170,45 @@ class TestScalarHoist:
         assert _hoist_scalar(jnp.full((3, 1, 1, 1), 0.2)) == np.float32(0.2)
         # per-sample (non-equal) distances must stay dynamic
         assert _hoist_scalar(np.asarray([0.1, 0.2], np.float32)) is None
+
+    def test_device_array_hoist_cached(self):
+        from style_transfer_based_holographic_imaging_tpu.pipelines import (
+            field_retrieval as fr,
+        )
+
+        fr._HOIST_CACHE.clear()
+        d = jnp.full((3, 1, 1, 1), 0.2)
+        assert fr._hoist_scalar(d) == np.float32(0.2)
+        assert id(d) in fr._HOIST_CACHE
+        # second call must hit the cache (same object), not re-fetch
+        ref, val = fr._HOIST_CACHE[id(d)]
+        assert fr._hoist_scalar(d) == val and ref() is d
+
+    def test_retrace_guard_caps_static_variants(self):
+        """A caller sweeping style distances must not compile per value:
+        after the cap, new scalars run through the single dynamic program."""
+        from style_transfer_based_holographic_imaging_tpu.config import (
+            PhysicsConfig,
+        )
+        from style_transfer_based_holographic_imaging_tpu.models import (
+            init_net_params,
+        )
+        from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
+            make_retrieval_fn,
+        )
+
+        params = init_net_params(jax.random.key(0), image_size=32)
+        fn = make_retrieval_fn(PhysicsConfig())
+        rng = np.random.default_rng(0)
+        holo = jnp.asarray(rng.random((1, 1, 32, 32), np.float32) + 0.05)
+        sm = jnp.asarray(rng.random((1, 1, 1, 512), np.float32))
+        ss = jnp.asarray(rng.random((1, 1, 1, 512), np.float32) + 0.5)
+        outs = [
+            fn(params, holo, sm, ss, 0.1 + 0.05 * i) for i in range(7)
+        ]
+        assert len(fn._seen_static) <= 4
+        for o in outs:
+            assert np.isfinite(np.asarray(o["ph_foc"])).all()
 
     def test_static_to_metres_matches_device(self):
         from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
