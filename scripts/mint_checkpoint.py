@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--content-weight", type=float, default=1.0)
     ap.add_argument("--distance-weight", type=float, default=10.0)
     ap.add_argument("--adv-weight", type=float, default=0.0)
+    ap.add_argument("--ema-decay", type=float, default=0.0,
+                    help="Polyak-average the generator params (e.g. 0.999); "
+                         "the EMA weights are saved in the checkpoint and "
+                         "evaluated alongside the raw ones")
     ap.add_argument("--grad-accum", type=int, default=1,
                     help="micro-batches accumulated per optimizer step")
     ap.add_argument("--seed", type=int, default=0)
@@ -95,6 +99,7 @@ def main():
             distance_weight=args.distance_weight,
             adv_weight=args.adv_weight,
             grad_accum=args.grad_accum,
+            ema_decay=args.ema_decay,
             log_every=200,
         ),
     )
@@ -155,6 +160,29 @@ def main():
     metrics["refined_mean_psnr"] = refined["mean_psnr"]
     metrics["refined_mean_mae"] = refined["mean_mae"]
     metrics["refined_steps"] = 100
+
+    if state.ema_params is not None:
+        # Score the Polyak-averaged weights with their own style vector (the
+        # style statistics are a function of the encoder params).
+        ema_mean, ema_std = extract_style_vector(
+            state.ema_params, cfg, bank, n_batches=32
+        )
+        save_style_vector(ema_mean, ema_std, os.path.join(args.out, "style_vector_ema.npz"))
+        ema_metrics = evaluate_golden_suite(
+            state.ema_params,
+            goldens,
+            cfg,
+            style_override=(ema_mean, ema_std),
+        )
+        print(
+            "GOLDEN_EVAL_EMA "
+            + json.dumps({k: ema_metrics[k] for k in ("mean_psnr", "mean_mae", "r2")}),
+            flush=True,
+        )
+        metrics["ema_mean_psnr"] = ema_metrics["mean_psnr"]
+        metrics["ema_mean_mae"] = ema_metrics["mean_mae"]
+        metrics["ema_r2"] = ema_metrics["r2"]
+
     with open(os.path.join(args.out, "golden_metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
 

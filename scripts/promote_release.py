@@ -22,6 +22,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run", required=True, help="training run directory")
     ap.add_argument("--dest", default="checkpoints", help="release parent dir")
+    ap.add_argument("--ema", action="store_true",
+                    help="promote the snapshot's Polyak-averaged params "
+                         "(ema_params; requires a run minted with --ema-decay)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -44,18 +47,31 @@ def main():
     # optimizer-state structure just to extract the parameters.
     restored = ckptr.restore(src)
 
+    if args.ema:
+        if "ema_params" not in restored:
+            sys.exit(f"{src} has no ema_params (run was not minted with --ema-decay)")
+        release_params = restored["ema_params"]
+    else:
+        release_params = restored["params"]
+
     dest = os.path.abspath(os.path.join(args.dest, "release"))
     if os.path.isdir(dest):
         shutil.rmtree(dest)
-    ckptr.save(dest, {"params": restored["params"]}, force=True)
+    ckptr.save(dest, {"params": release_params}, force=True)
     ckptr.wait_until_finished()
     print(f"release params checkpoint: {dest} (from {src})")
 
     for name in ("style_vector.npz", "golden_metrics.json", "config.json"):
         p = os.path.join(args.run, name)
+        if name == "style_vector.npz" and args.ema:
+            # The style statistics are a function of the (averaged) encoder —
+            # ship the vector extracted from the EMA params.
+            ema_p = os.path.join(args.run, "style_vector_ema.npz")
+            if os.path.isfile(ema_p):
+                p = ema_p
         if os.path.isfile(p):
             shutil.copy2(p, os.path.join(args.dest, name))
-            print(f"copied {name}")
+            print(f"copied {name}" + (" (ema)" if p.endswith("_ema.npz") else ""))
 
     gm = os.path.join(args.dest, "golden_metrics.json")
     if os.path.isfile(gm):

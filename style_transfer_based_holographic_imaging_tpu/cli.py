@@ -286,6 +286,7 @@ def cmd_train(args):
         style_weight=args.style_weight,
         log_every=args.log_every,
         grad_accum=args.grad_accum,
+        ema_decay=args.ema_decay,
     )
     if args.domain:
         # Train inside an experimental-domain preset (its physics constants
@@ -899,6 +900,9 @@ def main(argv=None):
     p.add_argument("--adv-weight", type=float, default=0.0)
     p.add_argument("--grad-accum", type=int, default=1,
                    help="micro-batches accumulated per optimizer step")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="Polyak-average the generator params into the "
+                   "checkpoint's ema_params (e.g. 0.999; 0 = off)")
     p.add_argument("--distance-weight", type=float, default=20.0)
     p.add_argument("--content-weight", type=float, default=0.1)
     p.add_argument("--style-weight", type=float, default=0.1)

@@ -135,6 +135,14 @@ class TrainConfig:
                                         # False lets the encoder train too
                                         # (useful when no pretrained VGG
                                         # weights exist, as in this snapshot)
+    ema_decay: float = 0.0              # Polyak averaging of the generator
+                                        # params (ema = d*ema + (1-d)*params
+                                        # each step; 0 disables). Insurance
+                                        # against exactly the rbc post-mortem
+                                        # failure mode: a late loss spike
+                                        # leaving the final checkpoint
+                                        # mid-recovery — the averaged weights
+                                        # ride through the spike.
 
 
 @dataclass(frozen=True)

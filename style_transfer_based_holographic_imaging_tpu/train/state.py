@@ -37,13 +37,25 @@ class TrainState(struct.PyTreeNode):
     disc_tx: Optional[optax.GradientTransformation] = struct.field(
         pytree_node=False, default=None
     )
+    # Polyak-averaged generator params (TrainConfig.ema_decay > 0); None when
+    # EMA is off so existing states/checkpoints keep their pytree structure.
+    ema_params: Optional[Any] = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads) -> "TrainState":
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if new_ema is not None:
+            d = self.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p, new_ema, new_params
+            )
         return self.replace(
             step=self.step + 1,
-            params=optax.apply_updates(self.params, updates),
+            params=new_params,
             opt_state=new_opt,
+            ema_params=new_ema,
         )
 
     def apply_disc_gradients(self, grads) -> "TrainState":
@@ -100,6 +112,7 @@ def create_train_state(
 ) -> TrainState:
     tx = make_optimizer(cfg)
     disc_tx = optax.adam(cfg.lr) if disc_params is not None else None
+    ema_decay = getattr(cfg, "ema_decay", 0.0)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -108,6 +121,12 @@ def create_train_state(
         disc_params=disc_params,
         disc_opt_state=disc_tx.init(disc_params) if disc_params is not None else None,
         disc_tx=disc_tx,
+        # Fresh copies (not aliases) so the donated state pytree never holds
+        # the same buffer twice.
+        ema_params=(
+            jax.tree.map(jnp.array, params) if ema_decay else None
+        ),
+        ema_decay=float(ema_decay),
     )
 
 
@@ -127,6 +146,8 @@ def save_checkpoint(state: TrainState, ckpt_dir: str, step: Optional[int] = None
         # a resumed run continues the same two-player game.
         tree["disc_params"] = jax.device_get(state.disc_params)
         tree["disc_opt_state"] = jax.device_get(state.disc_opt_state)
+    if state.ema_params is not None:
+        tree["ema_params"] = jax.device_get(state.ema_params)
     ckptr.save(path, tree, force=True)
     ckptr.wait_until_finished()
     return path
@@ -135,7 +156,10 @@ def save_checkpoint(state: TrainState, ckpt_dir: str, step: Optional[int] = None
 def restore_checkpoint(path: str, state: TrainState) -> TrainState:
     """Restore into ``state``'s structure (typed targets keep optax
     namedtuple optimizer states intact); tolerates older snapshots without
-    the discriminator fields."""
+    the discriminator / EMA fields (orbax cannot restore partial targets, so
+    optional fields are dropped from the target one group at a time)."""
+    import sys
+
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -144,26 +168,49 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
         "params": jax.device_get(state.params),
         "opt_state": jax.device_get(state.opt_state),
     }
-    restored = None
+    optional = {}
     if state.disc_params is not None:
-        full_target = dict(
-            base_target,
-            disc_params=jax.device_get(state.disc_params),
-            disc_opt_state=jax.device_get(state.disc_opt_state),
-        )
-        try:
-            restored = ckptr.restore(os.path.abspath(path), full_target)
-        except Exception as e:  # noqa: BLE001 — snapshot predates disc fields
-            import sys
+        optional["disc"] = {
+            "disc_params": jax.device_get(state.disc_params),
+            "disc_opt_state": jax.device_get(state.disc_opt_state),
+        }
+    if state.ema_params is not None:
+        optional["ema"] = {"ema_params": jax.device_get(state.ema_params)}
 
+    restored = None
+    # Try the fullest target first, then every smaller subset of the optional
+    # groups (a snapshot has a group entirely or not at all, but any
+    # combination of groups may be present — e.g. EMA without discriminator).
+    from itertools import combinations
+
+    groups = list(optional)
+    attempts = [
+        keep
+        for r in range(len(groups), -1, -1)
+        for keep in combinations(groups, r)
+    ]
+    for keep in attempts:
+        target = dict(base_target)
+        for g in keep:
+            target.update(optional[g])
+        try:
+            restored = ckptr.restore(os.path.abspath(path), target)
+        except Exception as e:  # noqa: BLE001 — snapshot predates the field
+            if not keep and not groups:
+                raise
+            if keep != tuple(groups):
+                continue
             print(
-                f"warning: full (discriminator-bearing) restore of {path} "
-                f"failed ({type(e).__name__}: {e}); falling back to the base "
-                "target — the discriminator restarts from its current init",
+                f"warning: restore of {path} with all optional fields "
+                f"({'+'.join(groups)}) failed ({type(e).__name__}); trying "
+                "smaller targets — missing components restart from their "
+                "current init",
                 file=sys.stderr,
             )
-            restored = None
+            continue
+        break
     if restored is None:
+        # Every subset failed — surface the base-target error directly.
         restored = ckptr.restore(os.path.abspath(path), base_target)
     state = state.replace(
         step=jnp.asarray(restored["step"]),
@@ -174,6 +221,14 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
         state = state.replace(
             disc_params=restored["disc_params"],
             disc_opt_state=restored["disc_opt_state"],
+        )
+    if "ema_params" in restored:
+        state = state.replace(ema_params=restored["ema_params"])
+    elif state.ema_params is not None:
+        # Older snapshot without EMA: seed the average from the restored
+        # params so the resumed run's EMA doesn't blend in stale init values.
+        state = state.replace(
+            ema_params=jax.tree.map(jnp.array, restored["params"])
         )
     return state
 

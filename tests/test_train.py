@@ -148,6 +148,64 @@ def test_checkpoint_roundtrip(tmp_path, small_params):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestEma:
+    def test_tracks_polyak_average(self, bank, small_params):
+        cfg = TrainConfig(checkpoint_every=0, ema_decay=0.5)
+        net = StyleTransferNet()
+        state = create_train_state(jax.device_get(small_params), cfg)
+        step_fn = make_train_step(net, PHYSICS, cfg)
+        batch = synth_batch(
+            jax.random.key(0), jnp.asarray(bank), data=SMALL_DATA, physics=PHYSICS,
+            return_gt=True,
+        )
+        expected = jax.device_get(state.params)
+        for i in range(3):
+            state, _ = step_fn(state, batch, jax.random.key(i + 1))
+            p = jax.device_get(state.params)
+            expected = jax.tree.map(lambda e, q: 0.5 * e + 0.5 * q, expected, p)
+        got = jax.device_get(state.ema_params)
+        for e, g in zip(jax.tree.leaves(expected), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=1e-6)
+
+    def test_off_by_default(self, small_params):
+        state = create_train_state(
+            jax.device_get(small_params), TrainConfig(checkpoint_every=0)
+        )
+        assert state.ema_params is None
+
+    def test_checkpoint_roundtrip(self, tmp_path, small_params):
+        cfg = TrainConfig(checkpoint_dir=str(tmp_path), ema_decay=0.9)
+        state = create_train_state(jax.device_get(small_params), cfg)
+        # Make EMA distinguishable from params.
+        state = state.replace(
+            ema_params=jax.tree.map(lambda x: x + 1.0, state.ema_params)
+        )
+        path = save_checkpoint(state, str(tmp_path))
+        fresh = create_train_state(
+            jax.device_get(init_net_params(jax.random.key(9), image_size=64)), cfg
+        )
+        restored = restore_checkpoint(path, fresh)
+        a = jax.tree.leaves(state.ema_params)[0]
+        b = jax.tree.leaves(restored.ema_params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_restore_pre_ema_snapshot_seeds_from_params(self, tmp_path, small_params):
+        # Snapshot written WITHOUT EMA, restored into an EMA-enabled run:
+        # the average must seed from the restored params, not stale init.
+        plain = create_train_state(
+            jax.device_get(small_params), TrainConfig(checkpoint_dir=str(tmp_path))
+        )
+        path = save_checkpoint(plain, str(tmp_path))
+        fresh = create_train_state(
+            jax.device_get(init_net_params(jax.random.key(9), image_size=64)),
+            TrainConfig(checkpoint_dir=str(tmp_path), ema_decay=0.9),
+        )
+        restored = restore_checkpoint(path, fresh)
+        a = jax.tree.leaves(restored.params)[0]
+        b = jax.tree.leaves(restored.ema_params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_gan_path_runs(bank):
     """Adversarial plumbing: one step with adv_weight>0 updates D too."""
     from style_transfer_based_holographic_imaging_tpu.models import PatchDiscriminator
