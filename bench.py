@@ -186,7 +186,11 @@ def main():
         )
         rng_u = np.random.default_rng(0)
         ultra, batch = 0.0, 0
-        for b_u in (256, 512):
+        # 1024 ties 512 within noise here (41.5 vs 41.9k) and wins in the
+        # stage-attribution protocol (39.1 vs 36.5k, exp_ultra_stages.py), so
+        # it stays in the sweep; 2048 regresses (the DCT unwrap's cost turns
+        # superlinear past ~1k images: 1.2 -> 4.4 ms).
+        for b_u in (256, 512, 1024):
             holo = jnp.asarray(
                 rng_u.random((b_u, 1, 128, 128), np.float32) * 0.6 + 0.05
             )
