@@ -1,4 +1,4 @@
-"""Mesh / sharding layer (DP + FFT-domain sharding)."""
+"""Mesh / sharding layer (DP + FFT-domain sharding + channel TP)."""
 
 from style_transfer_based_holographic_imaging_tpu.parallel.mesh import (
     make_mesh,
@@ -8,6 +8,11 @@ from style_transfer_based_holographic_imaging_tpu.parallel.mesh import (
     DATA_AXIS,
     FFT_AXIS,
 )
+from style_transfer_based_holographic_imaging_tpu.parallel.tp import (
+    MODEL_AXIS,
+    tp_shardings,
+    tp_shard_params,
+)
 
 __all__ = [
     "make_mesh",
@@ -16,4 +21,7 @@ __all__ = [
     "shard_batch",
     "DATA_AXIS",
     "FFT_AXIS",
+    "MODEL_AXIS",
+    "tp_shardings",
+    "tp_shard_params",
 ]

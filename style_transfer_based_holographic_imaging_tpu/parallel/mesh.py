@@ -7,7 +7,9 @@ SURVEY.md §2). The TPU-native scaling axes for this workload are:
 * ``data``  — batch data-parallel over ICI for training and the RBC
   streaming-inference config (SURVEY.md §3.4),
 * ``fft``   — FFT-domain / spatial sharding for large fields of view
-  (the holography analogue of context parallelism; see parallel/fft.py).
+  (the holography analogue of context parallelism; parallel/fft_sharding.py),
+* ``model`` — channel tensor parallelism for wide model families and
+  latency-bound small-batch serving (parallel/tp.py).
 
 Every pipeline takes a mesh so these compose; single-chip is just the
 1-device mesh.

@@ -116,3 +116,54 @@ def test_inference_dp_sharded_matches_replicated(goldens):
     np.testing.assert_allclose(
         np.asarray(out["ph_foc"]), np.asarray(single["ph_foc"]), atol=2e-4
     )
+
+
+def test_inference_tp_sharded_matches_replicated(goldens):
+    """Channel tensor parallelism (parallel/tp.py): field retrieval with every
+    divisible kernel output-channel-sharded over a 'model' axis on a 2x4
+    (data x model) mesh must match the single-device program, with the params
+    actually distributed (the 512-channel conv kernels hold 128 channels per
+    model shard)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from style_transfer_based_holographic_imaging_tpu.parallel import (
+        DATA_AXIS,
+        MODEL_AXIS,
+        make_mesh,
+        tp_shard_params,
+    )
+    from style_transfer_based_holographic_imaging_tpu.pipelines import make_retrieval_fn
+
+    params = init_net_params(jax.random.key(0))
+    fn = make_retrieval_fn(PHYSICS)
+    holo = goldens.flat("content_holo")[:8]
+    d_style = goldens.flat("distance_style")[:8]
+
+    single = fn(params, holo, goldens.style_mean, goldens.style_std, d_style)
+
+    mesh = make_mesh(8, axis_names=(DATA_AXIS, MODEL_AXIS), shape=(2, 4))
+    tp_params = tp_shard_params(params, mesh)
+
+    # conv4_1 (512 out-channels) must hold 512/4 channels per model shard;
+    # the 2-channel decoder head must stay replicated.
+    k41 = tp_params["params"]["encoder"]["conv4_1"]["kernel"]
+    assert k41.addressable_shards[0].data.shape[-1] == k41.shape[-1] // 4
+    head = [v for k, v in tp_params["params"]["decoder"].items() if "kernel" in v]
+    assert head[-1]["kernel"].addressable_shards[0].data.shape == head[-1]["kernel"].shape
+
+    dp = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+    out = fn(
+        tp_params,
+        jax.device_put(holo, dp),
+        jax.device_put(jnp.asarray(goldens.style_mean), NamedSharding(mesh, P())),
+        jax.device_put(jnp.asarray(goldens.style_std), NamedSharding(mesh, P())),
+        jax.device_put(d_style, dp),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["ph_foc"]), np.asarray(single["ph_foc"]), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["distance_pred"]),
+        np.asarray(single["distance_pred"]),
+        atol=1e-5,
+    )
