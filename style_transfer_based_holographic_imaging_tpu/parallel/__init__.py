@@ -1,4 +1,4 @@
-"""Mesh / sharding layer (DP + FFT-domain sharding + channel TP)."""
+"""Mesh / sharding layer (DP + FFT-domain sharding + channel TP + GPipe PP)."""
 
 from style_transfer_based_holographic_imaging_tpu.parallel.mesh import (
     make_mesh,
@@ -13,6 +13,11 @@ from style_transfer_based_holographic_imaging_tpu.parallel.tp import (
     tp_shardings,
     tp_shard_params,
 )
+from style_transfer_based_holographic_imaging_tpu.parallel.pp import (
+    PIPE_AXIS,
+    make_pipeline_retrieval_fn,
+    pipeline_plan,
+)
 
 __all__ = [
     "make_mesh",
@@ -24,4 +29,7 @@ __all__ = [
     "MODEL_AXIS",
     "tp_shardings",
     "tp_shard_params",
+    "PIPE_AXIS",
+    "make_pipeline_retrieval_fn",
+    "pipeline_plan",
 ]

@@ -1,0 +1,501 @@
+"""Pipeline parallelism: GPipe-scheduled retrieval over a ``pipe`` mesh axis.
+
+The reference is single-process, single-device (SURVEY.md §2 — no
+parallelism of any strategy). This module completes the framework's
+parallelism menu (DP `parallel.mesh`, FoV/FFT sharding
+`parallel.fft_sharding`, channel TP `parallel.tp`) with the fourth
+classical axis: **pipeline parallelism**, for model families so deep/wide
+that even channel-sharded layers don't fit one chip's HBM, and for
+latency-hiding on multi-chip serving where the batch is too small for DP.
+
+Design (TPU-idiomatic, everything inside one jitted SPMD program):
+
+* The retrieval forward (stem → VGG ladder → AdaIN + distance head →
+  decoder ladder) is flattened into a linear chain of layer ops and split
+  into ``mesh.shape['pipe']`` contiguous stages, balanced by a FLOP model
+  (exact linear-partition DP, not greedy).
+* Stages are heterogeneous (different param/activation shapes), but SPMD
+  requires one program on every device. Both are therefore *packed*: each
+  stage's parameters flatten into one fp32 vector, padded to the widest
+  stage and stacked into an ``(S, Pmax)`` array sharded ``P('pipe', None)``
+  — each device materialises ONLY its own stage's weights (true pipeline
+  memory scaling). Activations at stage boundaries likewise travel as
+  ``(microbatch, Amax)`` flat buffers; each stage unpacks with its static
+  boundary shape via ``lax.switch`` on ``lax.axis_index('pipe')``.
+* The schedule is classic GPipe inside one ``lax.scan``: at tick ``t``,
+  device ``s`` runs microbatch ``t - s`` (bubbles compute garbage that is
+  masked out of the collection window), then a single ring
+  ``lax.ppermute`` hands its output to stage ``s+1``; the last stage's
+  buffers are ``psum``-broadcast so the result leaves the shard_map
+  replicated. ``M`` microbatches over ``S`` stages cost ``M + S - 1``
+  ticks — bubble fraction ``(S-1)/(M+S-1)``, amortised by raising
+  ``n_micro`` exactly as in the scaling-book pipelining recipe.
+
+The distance prediction (needed downstream of the encoder) rides the flat
+activation buffer as one extra lane, so it flows through later stages
+without a separate collective.
+
+Numerics are identical to the single-device ``pipelines.retrieval_step``
+(same reflect-pad VALID convs, ceil-mode pools, transposed-conv taps,
+instance-norm rows; fp32 throughout); ``tests/test_parallel.py`` asserts
+parity on the 8-virtual-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
+from style_transfer_based_holographic_imaging_tpu.models.layers import (
+    instance_norm_rows,
+    max_pool_ceil,
+    reflect_pad2d,
+)
+from style_transfer_based_holographic_imaging_tpu.models.vgg import _BLOCKS
+from style_transfer_based_holographic_imaging_tpu.ops.stats import (
+    adain_with_stats,
+    calc_mean_std,
+)
+
+__all__ = ["PIPE_AXIS", "make_pipeline_retrieval_fn", "pipeline_plan"]
+
+PIPE_AXIS = "pipe"
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+# Decoder ladder (models/decoder.py <=> reference net.py:33-74):
+# (name, base features, kind) in execution order. 'u' = ConvTranspose2x2,
+# 'r' = reflect conv + relu, 'last' = reflect conv, no relu, fixed 2ch.
+_DECODER: Tuple[Tuple[str, int, str], ...] = (
+    ("conv0", 512, "r"),
+    ("conv1", 256, "r"),
+    ("up0", 256, "u"),
+    ("conv2", 256, "r"),
+    ("conv3", 256, "r"),
+    ("conv4", 256, "r"),
+    ("conv5", 128, "r"),
+    ("up1", 128, "u"),
+    ("conv6", 128, "r"),
+    ("conv7", 64, "r"),
+    ("up2", 64, "u"),
+    ("conv8", 64, "r"),
+    ("conv9", 64, "r"),
+    ("conv10", 2, "last"),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class _Layer:
+    kind: str                      # 'stem' | 'rconv' | 'up' | 'adain'
+    path: Tuple[str, ...]          # into params['params']
+    relu: bool
+    pool_before: bool
+    in_shape: Tuple[int, int, int]   # activation (h, w, c) INTO this op
+    out_shape: Tuple[int, int, int]
+    flops: float
+
+
+def _build_chain(image_size: int, width: float = 1.0) -> List[_Layer]:
+    """The retrieval forward as a flat layer chain with static shapes."""
+
+    def w_(f: int) -> int:
+        return max(int(round(f * width)), 8)
+
+    layers: List[_Layer] = []
+    h = w = image_size
+    c = 1
+    layers.append(
+        _Layer("stem", ("encoder", "stem"), False, False, (h, w, c), (h, w, 3),
+               2.0 * h * w * 3)
+    )
+    c = 3
+    for block in _BLOCKS[:4]:
+        for name, feats, pool_before in block:
+            ih, iw, ic = h, w, c
+            if pool_before:
+                h, w = -(-h // 2), -(-w // 2)
+            f = w_(feats)
+            layers.append(
+                _Layer("rconv", ("encoder", name), True, pool_before,
+                       (ih, iw, ic), (h, w, f), 2.0 * h * w * 9 * ic * f)
+            )
+            c = f
+    # AdaIN mixing + distance head at the relu4_1 boundary
+    # (net.py:240-258). FLOPs: the distance MLP's dense ladder.
+    d_flops = 2.0 * (1024 * 1024 + 1024 * 1024 + 1024 * 512 + 512)
+    layers.append(
+        _Layer("adain", ("distance_g",), False, False, (h, w, c), (h, w, c),
+               d_flops)
+    )
+    for name, feats, kind in _DECODER:
+        ih, iw, ic = h, w, c
+        if kind == "u":
+            f = w_(feats)
+            h, w = h * 2, w * 2
+            layers.append(
+                _Layer("up", ("decoder", name), True, False, (ih, iw, ic),
+                       (h, w, f), 2.0 * h * w * ic * f)
+            )
+        else:
+            f = 2 if kind == "last" else w_(feats)
+            layers.append(
+                _Layer("rconv", ("decoder", name), kind != "last", False,
+                       (ih, iw, ic), (h, w, f), 2.0 * h * w * 9 * ic * f)
+            )
+        c = f
+    return layers
+
+
+def _partition(chain: Sequence[_Layer], n_stages: int) -> List[List[_Layer]]:
+    """Exact linear-partition of the chain into ``n_stages`` contiguous
+    groups minimising the max per-stage FLOPs (O(n^2 S) DP)."""
+    n = len(chain)
+    if not 1 <= n_stages <= n:
+        raise ValueError(f"n_stages={n_stages} for a {n}-layer chain")
+    cost = np.array([l.flops for l in chain])
+    pref = np.concatenate([[0.0], np.cumsum(cost)])
+
+    # dp[s][i] = best max-cost splitting chain[:i] into s stages.
+    dp = np.full((n_stages + 1, n + 1), np.inf)
+    cut = np.zeros((n_stages + 1, n + 1), np.int64)
+    dp[0][0] = 0.0
+    for s in range(1, n_stages + 1):
+        for i in range(s, n + 1):
+            for j in range(s - 1, i):
+                v = max(dp[s - 1][j], pref[i] - pref[j])
+                if v < dp[s][i]:
+                    dp[s][i] = v
+                    cut[s][i] = j
+    bounds = [n]
+    for s in range(n_stages, 0, -1):
+        bounds.append(int(cut[s][bounds[-1]]))
+    bounds = bounds[::-1]
+    return [list(chain[bounds[s] : bounds[s + 1]]) for s in range(n_stages)]
+
+
+def pipeline_plan(
+    image_size: int, n_stages: int, width: float = 1.0
+) -> List[List[str]]:
+    """Human-readable stage assignment (layer names per stage)."""
+    stages = _partition(_build_chain(image_size, width), n_stages)
+    return [["/".join(l.path) for l in st] for st in stages]
+
+
+# ---- functional layer applies (parity contracts in models/layers.py) ----
+
+
+def _conv(x, kernel, bias, padding):
+    return (
+        jax.lax.conv_general_dilated(x, kernel, (1, 1), padding,
+                                     dimension_numbers=_DN)
+        + bias
+    )
+
+
+def _apply_rconv(p, x, relu):
+    """ReflectionPad2d(1) + VALID 3x3 conv — ReflectConv's matpad backend."""
+    y = _conv(reflect_pad2d(x, 1), p["kernel"], p["bias"], "VALID")
+    return jax.nn.relu(y) if relu else y
+
+
+def _apply_up(p, x):
+    """torch ConvTranspose2d(k=2, s=2) + relu (models/layers.ConvTranspose2x2)."""
+    k = jnp.transpose(p["kernel"], (2, 3, 1, 0))
+    y = jax.lax.conv_transpose(
+        x, k, strides=(2, 2), padding="VALID", dimension_numbers=_DN,
+        transpose_kernel=True,
+    )
+    return jax.nn.relu(y + p["bias"])
+
+
+def _apply_distance(p, mean, std):
+    """DistanceMLP forward, deterministic (models/distance.py)."""
+    b = mean.shape[0]
+    x = jnp.concatenate([mean.reshape(b, -1), std.reshape(b, -1)], axis=-1)
+    for name in ("l1", "l2", "l3"):
+        x = x @ p[name]["kernel"] + p[name]["bias"]
+        x = jax.nn.relu(instance_norm_rows(x))
+    return jax.nn.sigmoid(x @ p["out"]["kernel"] + p["out"]["bias"])
+
+
+def _layer_leaf_shapes(layer: _Layer, width: float) -> List[Tuple[Tuple[str, ...], Tuple[int, ...]]]:
+    """(relative param path, shape) leaves of one layer op, in pack order."""
+    ih, iw, ic = layer.in_shape
+    oh, ow, oc = layer.out_shape
+    if layer.kind == "stem":
+        return [(("kernel",), (1, 1, ic, oc)), (("bias",), (oc,))]
+    if layer.kind == "rconv":
+        return [(("kernel",), (3, 3, ic, oc)), (("bias",), (oc,))]
+    if layer.kind == "up":
+        return [(("kernel",), (ic, oc, 2, 2)), (("bias",), (oc,))]
+    if layer.kind == "adain":
+        hidden = 1024
+        dims = [(ic * 2, hidden), (hidden, hidden), (hidden, hidden // 2),
+                (hidden // 2, 1)]
+        out: List[Tuple[Tuple[str, ...], Tuple[int, ...]]] = []
+        for name, (i, o) in zip(("l1", "l2", "l3", "out"), dims):
+            out.append(((name, "kernel"), (i, o)))
+            out.append(((name, "bias"), (o,)))
+        return out
+    raise ValueError(layer.kind)
+
+
+def _get_path(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def _pack_stage_params(
+    params, stages: Sequence[Sequence[_Layer]], width: float
+) -> Tuple[jax.Array, List[List[Tuple[int, Tuple[int, ...]]]]]:
+    """Flatten each stage's params into one fp32 vector (padded to the widest
+    stage) and record per-leaf (offset, shape) for static unpacking."""
+    p = params["params"] if "params" in params else params
+    vecs: List[jax.Array] = []
+    offsets: List[List[Tuple[int, Tuple[int, ...]]]] = []
+    for stage in stages:
+        parts: List[jax.Array] = []
+        offs: List[Tuple[int, Tuple[int, ...]]] = []
+        pos = 0
+        for layer in stage:
+            base = _get_path(p, layer.path)
+            for rel, shape in _layer_leaf_shapes(layer, width):
+                leaf = jnp.asarray(_get_path(base, rel), jnp.float32)
+                if tuple(leaf.shape) != shape:
+                    raise ValueError(
+                        f"param {layer.path + rel}: expected {shape}, got "
+                        f"{tuple(leaf.shape)} — width mismatch?"
+                    )
+                parts.append(leaf.reshape(-1))
+                offs.append((pos, shape))
+                pos += leaf.size
+        vecs.append(jnp.concatenate(parts))
+        offsets.append(offs)
+    pmax = max(v.size for v in vecs)
+    packed = jnp.stack(
+        [jnp.pad(v, (0, pmax - v.size)) for v in vecs]
+    )
+    return packed, offsets
+
+
+def _boundary_size(shape: Tuple[int, int, int], has_d: bool) -> int:
+    h, w, c = shape
+    return h * w * c + (1 if has_d else 0)
+
+
+def _make_stage_fn(
+    stage: Sequence[_Layer],
+    offs: Sequence[Tuple[int, Tuple[int, ...]]],
+    in_has_d: bool,
+    out_has_d: bool,
+    amax: int,
+    alpha: float,
+    width: float,
+) -> Callable:
+    """Branch body for one stage: unpack flat buffers, run the layers,
+    repack. All shapes static; chosen at runtime by lax.switch."""
+    in_shape = stage[0].in_shape
+    out_shape = stage[-1].out_shape
+
+    # Rebuild each layer's param tree from the flat vector at STATIC offsets.
+    leaf_iter = list(offs)
+
+    def fn(sp: jax.Array, buf: jax.Array, sm: jax.Array, ss: jax.Array):
+        mb = buf.shape[0]
+        h, w, c = in_shape
+        x = buf[:, : h * w * c].reshape(mb, h, w, c)
+        d = buf[:, h * w * c : h * w * c + 1] if in_has_d else None
+
+        li = 0
+        for layer in stage:
+            leaves: Dict[str, Any] = {}
+            for rel, shape in _layer_leaf_shapes(layer, width):
+                off, shp = leaf_iter[li]
+                li += 1
+                node = leaves
+                for k in rel[:-1]:
+                    node = node.setdefault(k, {})
+                node[rel[-1]] = jax.lax.dynamic_slice_in_dim(
+                    sp, off, int(np.prod(shp))
+                ).reshape(shp)
+            if layer.pool_before:
+                x = max_pool_ceil(x, 2, 2)
+            if layer.kind == "stem":
+                x = _conv(x, leaves["kernel"], leaves["bias"], "VALID")
+            elif layer.kind == "rconv":
+                x = _apply_rconv(leaves, x, layer.relu)
+            elif layer.kind == "up":
+                x = _apply_up(leaves, x)
+            elif layer.kind == "adain":
+                mean, std = calc_mean_std(x)
+                t = adain_with_stats(x, sm, ss)
+                x = alpha * t + (1.0 - alpha) * x
+                d = _apply_distance(leaves, mean, std)
+            else:
+                raise ValueError(layer.kind)
+
+        out = x.reshape(mb, -1)
+        if out_has_d:
+            assert d is not None
+            out = jnp.concatenate([out, d], axis=-1)
+        pad = amax - out.shape[-1]
+        if pad:
+            out = jnp.pad(out, ((0, 0), (0, pad)))
+        return out
+
+    return fn
+
+
+def make_pipeline_retrieval_fn(
+    params,
+    mesh: Mesh,
+    *,
+    n_micro: int,
+    image_size: int,
+    physics: Optional[PhysicsConfig] = None,
+    alpha: float = 1.0,
+    width: float = 1.0,
+    unwrap: bool = True,
+    axis: str = PIPE_AXIS,
+):
+    """Build a jitted pipeline-parallel retrieval step over ``mesh[axis]``.
+
+    Args:
+      params: the full net param dict (``init_net_params`` /
+        ``load_release_params`` layout).
+      mesh: a mesh whose ``axis`` dimension is the pipeline depth ``S``.
+      n_micro: GPipe microbatch count ``M`` (batch must divide by it);
+        bubble fraction is ``(S-1)/(M+S-1)``.
+      image_size: static hologram side (the chain's shapes hang off it).
+      physics: when given, the returned fn also ASM-refocuses by
+        ``-d_style`` and returns the same dict as
+        ``pipelines.retrieval_step``; otherwise only the style-plane
+        fields + distance.
+
+    Returns ``fn(content_holo_nchw, style_mean, style_std[, d_style])``.
+    The packed per-stage params are committed to the mesh once,
+    ``P(axis, None)``-sharded — each device holds only its stage.
+    """
+    n_stages = int(mesh.shape[axis])
+    chain = _build_chain(image_size, width)
+    stages = _partition(chain, n_stages)
+    packed, offsets = _pack_stage_params(params, stages, width)
+    packed = jax.device_put(packed, NamedSharding(mesh, P(axis, None)))
+
+    # Stage-boundary specs: the adain op contributes the distance lane to
+    # every later boundary.
+    adain_stage = next(
+        i for i, st in enumerate(stages) if any(l.kind == "adain" for l in st)
+    )
+    in_has_d = [i > adain_stage for i in range(n_stages)]
+    out_has_d = [i >= adain_stage for i in range(n_stages)]
+    out_shape = stages[-1][-1].out_shape
+    amax = max(
+        max(
+            _boundary_size(st[0].in_shape, in_has_d[i])
+            for i, st in enumerate(stages)
+        ),
+        _boundary_size(out_shape, True),
+    )
+
+    branch_fns = [
+        _make_stage_fn(
+            stages[i], offsets[i], in_has_d[i], out_has_d[i], amax, alpha,
+            width,
+        )
+        for i in range(n_stages)
+    ]
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    h0, w0, c0 = chain[0].in_shape
+    oh, ow, oc = out_shape
+
+    def local_fn(sp, x, sm, ss):
+        """Per-device GPipe schedule (inside shard_map over ``axis``)."""
+        sp = sp[0]
+        stage = jax.lax.axis_index(axis)
+        batch = x.shape[0]
+        mb = batch // n_micro
+        xs = x.reshape(n_micro, mb, h0, w0, c0)
+        in_flat = h0 * w0 * c0
+
+        def tick(act, t):
+            x_t = xs[jnp.minimum(t, n_micro - 1)].reshape(mb, in_flat)
+            in0 = jnp.pad(x_t, ((0, 0), (0, amax - in_flat)))
+            inp = jnp.where(stage == 0, in0, act)
+            y = jax.lax.switch(stage, branch_fns, sp, inp, sm, ss)
+            nxt = jax.lax.ppermute(y, axis, perm)
+            out = jax.lax.psum(
+                jnp.where(stage == n_stages - 1, y, jnp.zeros_like(y)), axis
+            )
+            return nxt, out
+
+        act0 = jnp.zeros((mb, amax), jnp.float32)
+        _, outs = jax.lax.scan(tick, act0, jnp.arange(n_micro + n_stages - 1))
+        outs = outs[n_stages - 1 :].reshape(batch, amax)
+        g = outs[:, : oh * ow * oc].reshape(batch, oh, ow, oc)
+        d = outs[:, oh * ow * oc : oh * ow * oc + 1]
+        return g, d
+
+    sharded = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def step(sp, content_holo, sm, ss, d_style):
+        content = jnp.sqrt(jnp.asarray(content_holo, jnp.float32))
+        x = jnp.transpose(content, (0, 2, 3, 1))
+        g, d = sharded(sp, x, sm, ss)
+        amp = jnp.transpose(g[..., 0:1], (0, 3, 1, 2))
+        ph = jnp.transpose(g[..., 1:2], (0, 3, 1, 2))
+        result = {
+            "amp_field": amp,
+            "ph_field": ph,
+            "distance_pred": d.reshape(-1, 1, 1, 1),
+        }
+        if physics is not None:
+            from style_transfer_based_holographic_imaging_tpu.ops import (
+                holo_forward,
+            )
+
+            refocus_d = float(
+                -np.float32(d_style)
+                - np.float32(2.0 * physics.distance_normalize_constant)
+            )
+            amp_foc, ph_foc = holo_forward(
+                amp,
+                ph * physics.phase_normalize,
+                refocus_d,
+                physics,
+                return_field=True,
+                unwrap=unwrap,
+                asm_backend="xla",
+            )
+            result["amp_foc"] = amp_foc
+            result["ph_foc"] = ph_foc
+        return result
+
+    def fn(content_holo, style_mean, style_std, d_style: float = 0.2):
+        if content_holo.shape[0] % n_micro:
+            raise ValueError(
+                f"batch {content_holo.shape[0]} not divisible by "
+                f"n_micro={n_micro}"
+            )
+        return step(packed, content_holo, style_mean, style_std,
+                    float(d_style))
+
+    fn.stages = pipeline_plan(image_size, n_stages, width)
+    fn.packed_params = packed
+    return fn

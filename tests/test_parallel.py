@@ -167,3 +167,64 @@ def test_inference_tp_sharded_matches_replicated(goldens):
         np.asarray(single["distance_pred"]),
         atol=1e-5,
     )
+
+
+def test_pipeline_plan_partitions_whole_chain():
+    """Every layer appears exactly once, in order, across the stages."""
+    from style_transfer_based_holographic_imaging_tpu.parallel.pp import (
+        pipeline_plan,
+    )
+
+    plan = pipeline_plan(64, 4)
+    assert len(plan) == 4
+    assert all(stage for stage in plan)
+    flat = [name for stage in plan for name in stage]
+    assert flat[0] == "encoder/stem"
+    assert flat[-1] == "decoder/conv10"
+    assert "distance_g" in flat
+    assert len(flat) == len(set(flat))
+
+
+def test_pipeline_retrieval_matches_single_device():
+    """4-stage GPipe over the pipe axis == the single-device retrieval."""
+    from jax.sharding import Mesh
+
+    from style_transfer_based_holographic_imaging_tpu.parallel.pp import (
+        make_pipeline_retrieval_fn,
+    )
+    from style_transfer_based_holographic_imaging_tpu.pipelines import (
+        retrieval_step,
+    )
+
+    params = init_net_params(jax.random.key(0), image_size=64)
+    rng = np.random.default_rng(0)
+    holo = jnp.asarray(rng.uniform(0.1, 1.0, (8, 1, 64, 64)).astype(np.float32))
+    sm = jnp.asarray(rng.normal(size=(1, 1, 1, 512)).astype(np.float32))
+    ss = jnp.asarray(rng.uniform(0.5, 1.5, (1, 1, 1, 512)).astype(np.float32))
+
+    single = retrieval_step(params, holo, sm, ss, 0.2, PHYSICS)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+    fn = make_pipeline_retrieval_fn(
+        params, mesh, n_micro=4, image_size=64, physics=PHYSICS
+    )
+    # Each device holds only its own stage's packed weight vector.
+    assert fn.packed_params.shape[0] == 4
+    assert (
+        fn.packed_params.addressable_shards[0].data.shape[0] == 1
+    )
+    out = fn(holo, sm, ss, 0.2)
+
+    for key, atol in (
+        ("amp_field", 1e-5),
+        ("ph_field", 1e-5),
+        ("distance_pred", 1e-5),
+        ("amp_foc", 1e-5),
+        ("ph_foc", 2e-3),  # DCT unwrap amplifies tiny field deltas
+    ):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), np.asarray(single[key]), atol=atol, err_msg=key
+        )
+
+    with pytest.raises(ValueError):
+        fn(holo[:6], sm, ss, 0.2)
