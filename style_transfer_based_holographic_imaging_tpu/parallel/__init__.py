@@ -12,6 +12,7 @@ from style_transfer_based_holographic_imaging_tpu.parallel.tp import (
     MODEL_AXIS,
     tp_shardings,
     tp_shard_params,
+    tp_state_shardings,
 )
 from style_transfer_based_holographic_imaging_tpu.parallel.pp import (
     PIPE_AXIS,
@@ -29,6 +30,7 @@ __all__ = [
     "MODEL_AXIS",
     "tp_shardings",
     "tp_shard_params",
+    "tp_state_shardings",
     "PIPE_AXIS",
     "make_pipeline_retrieval_fn",
     "pipeline_plan",

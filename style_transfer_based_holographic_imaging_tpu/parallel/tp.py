@@ -35,7 +35,7 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["MODEL_AXIS", "tp_shardings", "tp_shard_params"]
+__all__ = ["MODEL_AXIS", "tp_shardings", "tp_shard_params", "tp_state_shardings"]
 
 MODEL_AXIS = "model"
 
@@ -73,3 +73,24 @@ def tp_shard_params(params, mesh: Mesh, axis: str = MODEL_AXIS):
     consumers then inherit the layout — same device_put-once rule as
     ``train.state.load_release_params``)."""
     return jax.device_put(params, tp_shardings(params, mesh, axis))
+
+
+def tp_state_shardings(state, mesh: Mesh, axis: str = MODEL_AXIS):
+    """Sharding pytree for a whole ``train.state.TrainState`` (or any
+    state-shaped pytree): every leaf gets the same output-channel rule as
+    ``tp_shardings``.
+
+    Because Adam's moments mirror their parameter's shape leaf-for-leaf,
+    they land on the SAME layout as the parameter they update — the whole
+    optimizer step stays elementwise-local with zero collectives; only the
+    forward/backward matmuls communicate (GSPMD-inserted, as in inference).
+    Scalars (step counters, schedules) and indivisible channel dims are
+    replicated. Feed the result to ``train.loop.make_train_step``'s
+    ``state_shardings`` to train channel-sharded on a (data x model) mesh.
+    """
+    axis_size = mesh.shape[axis]
+
+    def _one(path, leaf):
+        return NamedSharding(mesh, _leaf_spec(path, leaf, axis_size, axis))
+
+    return jax.tree_util.tree_map_with_path(_one, state)

@@ -1,0 +1,85 @@
+"""ZeRO-style sharded training state over the ``data`` axis.
+
+The reference is single-process, single-device (SURVEY.md §2 — no
+distributed training of any kind). Plain batch-DP (`train.loop.make_train_step`
+with a mesh) replicates parameters AND Adam moments on every chip, so
+per-chip memory is constant in the mesh size. This module removes that
+redundancy the GSPMD way (scaling-book recipe: commit layouts, let XLA
+insert the collectives):
+
+* **ZeRO-1** (``shard_params=False``, default): optimizer moments are
+  sharded over ``data``; parameters stay replicated. The backward's grad
+  psum becomes (under XLA's partitioner) a reduce-scatter into the moment
+  shard, the Adam elementwise update runs on 1/N of the state, and one
+  all-gather rebuilds the updated parameters — per-chip optimizer memory
+  drops N-fold with no change to forward/backward math.
+* **FSDP / ZeRO-3** (``shard_params=True``): parameters (and EMA copies)
+  are sharded too; XLA all-gathers each layer's weights on use in the
+  forward/backward. Per-chip memory for the whole train state drops
+  N-fold — the lever for model families (``ModelConfig.width`` > 1) whose
+  optimizer state would not fit one chip's HBM.
+
+Sharding rule: each array leaf is split along the FIRST dimension divisible
+by the axis size (for HWIO conv kernels that is the input-channel dim, NOT
+the output-channel dim that channel-TP uses — so ZeRO over ``data`` composes
+with `parallel.tp` over ``model`` on a 2-D mesh without fighting for a dim).
+Indivisible leaves (scalars, the 1-channel stem, small biases on large
+meshes) replicate; GSPMD handles the mixed tree.
+
+Numerics are unchanged — same reductions, same elementwise update;
+``tests/test_parallel.py`` asserts step-for-step parity with the
+single-device program on the 8-virtual-device CPU mesh. Feed the result to
+``train.loop.make_train_step(state_shardings=...)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from style_transfer_based_holographic_imaging_tpu.parallel.mesh import DATA_AXIS
+
+__all__ = ["zero_leaf_spec", "zero_state_shardings"]
+
+
+def zero_leaf_spec(leaf: Any, axis_size: int, axis: str) -> P:
+    """PartitionSpec sharding the first dim divisible by ``axis_size``."""
+    shape = getattr(leaf, "shape", ())
+    for i, dim in enumerate(shape):
+        if dim % axis_size == 0 and dim >= axis_size:
+            spec = [None] * len(shape)
+            spec[i] = axis
+            return P(*spec)
+    return P()
+
+
+def zero_state_shardings(
+    state,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    *,
+    shard_params: bool = False,
+):
+    """Sharding pytree for a ``train.state.TrainState``.
+
+    ``shard_params=False`` → ZeRO-1: only optimizer-state leaves (anything
+    under an ``opt_state`` attribute, incl. the discriminator's) are
+    sharded; params/EMA stay replicated. ``shard_params=True`` → FSDP:
+    every divisible array leaf in the state is sharded.
+    """
+    axis_size = mesh.shape[axis]
+    repl = NamedSharding(mesh, P())
+
+    def _one(path, leaf):
+        if not shard_params:
+            in_opt = any(
+                getattr(k, "name", None) in ("opt_state", "disc_opt_state")
+                for k in path
+            )
+            if not in_opt:
+                return repl
+        return NamedSharding(mesh, zero_leaf_spec(leaf, axis_size, axis))
+
+    return jax.tree_util.tree_map_with_path(_one, state)

@@ -186,9 +186,17 @@ def make_train_step(
     *,
     disc: Optional[PatchDiscriminator] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
+    state_shardings=None,
 ):
     """Build the jitted train step; with ``mesh`` the batch is sharded along
-    ``cfg.dp_axis`` and params are replicated (XLA inserts the grad psum)."""
+    ``cfg.dp_axis`` and params are replicated (XLA inserts the grad psum).
+
+    ``state_shardings`` (a sharding pytree matching the TrainState, e.g.
+    ``parallel.tp.tp_state_shardings``) instead commits params/optimizer
+    moments channel-sharded over a ``model`` axis of a 2-D (data x model)
+    mesh — tensor-parallel training: GSPMD inserts the activation
+    collectives in the forward/backward while the Adam update stays local.
+    """
 
     if cfg.grad_accum > 1 and cfg.adv_weight:
         raise ValueError(
@@ -276,16 +284,19 @@ def make_train_step(
         return new_state, aux
 
     if mesh is None:
+        if state_shardings is not None:
+            raise ValueError("state_shardings requires a mesh")
         return jax.jit(step, donate_argnums=(0,))
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P(cfg.dp_axis))
+    state_spec = state_shardings if state_shardings is not None else repl
     return jax.jit(
         step,
-        in_shardings=(repl, batch_sharded, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_spec, batch_sharded, repl),
+        out_shardings=(state_spec, repl),
         donate_argnums=(0,),
     )
 

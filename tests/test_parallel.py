@@ -228,3 +228,65 @@ def test_pipeline_retrieval_matches_single_device():
 
     with pytest.raises(ValueError):
         fn(holo[:6], sm, ss, 0.2)
+
+
+def test_train_step_tp_sharded_matches_single_device():
+    """Channel-TP training on a (data x model) mesh == the 1-device step:
+    params AND Adam moments output-channel-sharded, GSPMD collectives in
+    fwd/bwd only."""
+    from style_transfer_based_holographic_imaging_tpu.parallel import (
+        DATA_AXIS,
+        MODEL_AXIS,
+        tp_state_shardings,
+    )
+
+    bank = sklearn_digit_bank(32)
+    cfg = TrainConfig(checkpoint_every=0, adv_weight=0.0)
+    batch = jax.device_get(
+        synth_batch(
+            jax.random.key(1), bank, data=DATA8, physics=PHYSICS, return_gt=True
+        )
+    )
+    net = StyleTransferNet()
+
+    def run(mesh=None, tp=False):
+        params = init_net_params(jax.random.key(0), image_size=64)
+        state = create_train_state(params, cfg)
+        kw = (
+            {"state_shardings": tp_state_shardings(state, mesh)} if tp else {}
+        )
+        fn = make_train_step(net, PHYSICS, cfg, mesh=mesh, **kw)
+        new_state, aux = fn(state, batch, jax.random.key(2))
+        return new_state, jax.device_get(aux)
+
+    single, aux1 = run()
+    p1 = jax.device_get(single.params)
+
+    mesh = make_mesh(8, axis_names=(DATA_AXIS, MODEL_AXIS), shape=(2, 4))
+    sharded, aux2 = run(mesh, tp=True)
+
+    # The (frozen) encoder kernel is still channel-sharded; the TRAINED
+    # decoder conv0 kernel and its Adam moments hold C/4 channels per model
+    # shard (the frozen encoder carries no moments — set_to_zero).
+    k41 = sharded.params["params"]["encoder"]["conv4_1"]["kernel"]
+    assert k41.addressable_shards[0].data.shape[-1] == k41.shape[-1] // 4
+    d0 = sharded.params["params"]["decoder"]["conv0"]["kernel"]
+    assert d0.addressable_shards[0].data.shape[-1] == d0.shape[-1] // 4
+    mu_leaves = [
+        l
+        for l in jax.tree_util.tree_leaves(sharded.opt_state)
+        if getattr(l, "shape", ()) == d0.shape
+    ]
+    assert mu_leaves and all(
+        m.addressable_shards[0].data.shape[-1] == d0.shape[-1] // 4
+        for m in mu_leaves
+    )
+
+    assert abs(aux1["loss_total"] - aux2["loss_total"]) < 1e-5
+    p2 = jax.device_get(sharded.params)
+    diff = max(
+        jax.tree_util.tree_leaves(
+            jax.tree.map(lambda a, b: float(np.max(np.abs(a - b))), p1, p2)
+        )
+    )
+    assert diff < 2e-5, diff
