@@ -1,4 +1,4 @@
-"""Mesh / sharding layer (DP + FFT-domain sharding + channel TP + GPipe PP)."""
+"""Mesh / sharding layer (DP + FFT sharding + channel TP + GPipe PP + ZeRO/FSDP)."""
 
 from style_transfer_based_holographic_imaging_tpu.parallel.mesh import (
     make_mesh,
@@ -19,6 +19,10 @@ from style_transfer_based_holographic_imaging_tpu.parallel.pp import (
     make_pipeline_retrieval_fn,
     pipeline_plan,
 )
+from style_transfer_based_holographic_imaging_tpu.parallel.zero import (
+    merge_state_shardings,
+    zero_state_shardings,
+)
 
 __all__ = [
     "make_mesh",
@@ -34,4 +38,6 @@ __all__ = [
     "PIPE_AXIS",
     "make_pipeline_retrieval_fn",
     "pipeline_plan",
+    "zero_state_shardings",
+    "merge_state_shardings",
 ]

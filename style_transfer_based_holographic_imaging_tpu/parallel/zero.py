@@ -41,7 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from style_transfer_based_holographic_imaging_tpu.parallel.mesh import DATA_AXIS
 
-__all__ = ["zero_leaf_spec", "zero_state_shardings"]
+__all__ = ["zero_leaf_spec", "zero_state_shardings", "merge_state_shardings"]
 
 
 def zero_leaf_spec(leaf: Any, axis_size: int, axis: str) -> P:
@@ -83,3 +83,37 @@ def zero_state_shardings(
         return NamedSharding(mesh, zero_leaf_spec(leaf, axis_size, axis))
 
     return jax.tree_util.tree_map_with_path(_one, state)
+
+
+def merge_state_shardings(a, b):
+    """Left-precedence leaf-wise merge of two `NamedSharding` pytrees.
+
+    Per leaf, every dim named in ``a`` keeps its axis; dims unnamed in
+    ``a`` take ``b``'s axis where that would not reuse an axis already
+    placed on another dim (then they stay replicated — e.g. a bias both
+    schemes want dim 0 of: ``a`` wins). Use to compose
+    `parallel.tp.tp_state_shardings` (output channels over ``model``) with
+    ZeRO/FSDP (first divisible dim — input channels for conv kernels —
+    over ``data``) on one (data x model) mesh: fully-sharded
+    tensor-parallel training, the 2-D analogue of Megatron+ZeRO. Both
+    inputs must be built on the SAME mesh.
+    """
+
+    def _merge(sa, sb):
+        if sa.mesh != sb.mesh:
+            raise ValueError("merge_state_shardings: shardings on different meshes")
+        pa, pb = tuple(sa.spec), tuple(sb.spec)
+        n = max(len(pa), len(pb))
+        pa += (None,) * (n - len(pa))
+        pb += (None,) * (n - len(pb))
+        used = {x for x in pa if x is not None}
+        out = []
+        for da, db in zip(pa, pb):
+            if da is None and db is not None and db not in used:
+                used.add(db)
+                out.append(db)
+            else:
+                out.append(da)
+        return NamedSharding(sa.mesh, P(*out))
+
+    return jax.tree.map(_merge, a, b)
