@@ -380,7 +380,40 @@ def cmd_train(args):
         else:
             print("no iter_* snapshot found; training from scratch", file=sys.stderr)
 
-    state = train(cfg, bank=bank, state=state)
+    mesh = None
+    if args.partition != "dp" and (not args.devices or args.devices < 2):
+        print(
+            f"--partition {args.partition} needs --devices N (N >= 2)",
+            file=sys.stderr,
+        )
+        return 1
+    if args.devices and args.devices > 1:
+        from style_transfer_based_holographic_imaging_tpu.parallel import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            make_mesh,
+        )
+
+        if args.partition in ("tp", "tp_fsdp"):
+            # Channel-TP needs a model axis; default to putting ALL the
+            # devices on it (data=1) unless --model-devices splits them.
+            m = args.model_devices or args.devices
+            if args.devices % m:
+                print(
+                    f"--devices {args.devices} must divide by "
+                    f"--model-devices {m}",
+                    file=sys.stderr,
+                )
+                return 1
+            mesh = make_mesh(
+                args.devices,
+                axis_names=(DATA_AXIS, MODEL_AXIS),
+                shape=(args.devices // m, m),
+            )
+        else:
+            mesh = make_mesh(args.devices)
+
+    state = train(cfg, bank=bank, state=state, mesh=mesh, partition=args.partition)
     from style_transfer_based_holographic_imaging_tpu.train import save_checkpoint
 
     path = save_checkpoint(state, cfg.train.checkpoint_dir)
@@ -916,6 +949,18 @@ def main(argv=None):
         ("mnist", "polystyrene", "polystyrene_bead", "tissue",
          "red_blood_cell", "rbc"))),
                    help="experimental-domain preset (physics + distances)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="train over the first N devices (batch sharded "
+                        "along the data mesh axis)")
+    p.add_argument("--partition", default="dp",
+                   choices=("dp", "zero1", "fsdp", "tp", "tp_fsdp"),
+                   help="train-state layout on the mesh: replicated (dp), "
+                        "ZeRO-1 sharded optimizer moments, FSDP fully "
+                        "sharded state, channel tensor parallelism (tp), "
+                        "or TP x FSDP on a 2-D mesh")
+    p.add_argument("--model-devices", type=int, default=0,
+                   help="with --partition tp/tp_fsdp: size of the 'model' "
+                        "mesh axis (default: all of --devices)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("extract-style", help="mint a representative style vector")

@@ -20,7 +20,9 @@ from style_transfer_based_holographic_imaging_tpu.parallel.pp import (
     pipeline_plan,
 )
 from style_transfer_based_holographic_imaging_tpu.parallel.zero import (
+    PARTITION_PLANS,
     merge_state_shardings,
+    partition_state_shardings,
     zero_state_shardings,
 )
 
@@ -40,4 +42,6 @@ __all__ = [
     "pipeline_plan",
     "zero_state_shardings",
     "merge_state_shardings",
+    "partition_state_shardings",
+    "PARTITION_PLANS",
 ]

@@ -41,7 +41,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from style_transfer_based_holographic_imaging_tpu.parallel.mesh import DATA_AXIS
 
-__all__ = ["zero_leaf_spec", "zero_state_shardings", "merge_state_shardings"]
+__all__ = [
+    "zero_leaf_spec",
+    "zero_state_shardings",
+    "merge_state_shardings",
+    "partition_state_shardings",
+    "PARTITION_PLANS",
+]
 
 
 def zero_leaf_spec(leaf: Any, axis_size: int, axis: str) -> P:
@@ -117,3 +123,45 @@ def merge_state_shardings(a, b):
         return NamedSharding(sa.mesh, P(*out))
 
     return jax.tree.map(_merge, a, b)
+
+
+#: Named train-state partition plans (the ``cli train --partition`` menu).
+PARTITION_PLANS = ("dp", "zero1", "fsdp", "tp", "tp_fsdp")
+
+
+def partition_state_shardings(partition: str, state, mesh: Mesh):
+    """Resolve a named partition plan to a ``state_shardings`` pytree.
+
+    ``dp`` → ``None`` (replicated state, plain batch data parallelism);
+    ``zero1`` / ``fsdp`` → `zero_state_shardings` over the ``data`` axis;
+    ``tp`` → `parallel.tp.tp_state_shardings` over the ``model`` axis
+    (mesh must have one); ``tp_fsdp`` → both, merged. Feed the result to
+    ``train.loop.make_train_step(state_shardings=...)``.
+    """
+    if partition == "dp":
+        return None
+    if partition == "zero1":
+        return zero_state_shardings(state, mesh)
+    if partition == "fsdp":
+        return zero_state_shardings(state, mesh, shard_params=True)
+    from style_transfer_based_holographic_imaging_tpu.parallel.tp import (
+        MODEL_AXIS,
+        tp_state_shardings,
+    )
+
+    if partition in ("tp", "tp_fsdp") and MODEL_AXIS not in mesh.shape:
+        raise ValueError(
+            f"partition '{partition}' needs a '{MODEL_AXIS}' mesh axis; got "
+            f"axes {tuple(mesh.axis_names)} — build the mesh with "
+            f"make_mesh(n, axis_names=('data', 'model'), shape=(d, m))"
+        )
+    if partition == "tp":
+        return tp_state_shardings(state, mesh)
+    if partition == "tp_fsdp":
+        return merge_state_shardings(
+            tp_state_shardings(state, mesh),
+            zero_state_shardings(state, mesh, shard_params=True),
+        )
+    raise ValueError(
+        f"unknown partition {partition!r}; choose from {PARTITION_PLANS}"
+    )

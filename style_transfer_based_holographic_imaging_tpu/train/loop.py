@@ -308,6 +308,7 @@ def train(
     state: Optional[TrainState] = None,
     iterations: Optional[int] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
+    partition: str = "dp",
     log_fn=print,
 ) -> TrainState:
     """Run (or continue) training; returns the final state.
@@ -315,6 +316,12 @@ def train(
     Covers the reference's reconstructed training pipeline end to end:
     infinite synthesized-hologram stream, iteration-based loop, periodic
     orbax checkpoints (``checkpoints/iter_<n>``).
+
+    With a ``mesh``, ``partition`` picks the train-state layout
+    (``parallel.PARTITION_PLANS``): ``dp`` replicates it (plain batch data
+    parallelism), ``zero1``/``fsdp`` shard the optimizer moments / whole
+    state over the ``data`` axis, ``tp``/``tp_fsdp`` add channel tensor
+    parallelism over a ``model`` axis.
     """
     from style_transfer_based_holographic_imaging_tpu.data.synth import (
         InfiniteHologramSampler,
@@ -360,7 +367,23 @@ def train(
         return_gt=bool(cfg.supervised_weight),
         start_iteration=int(state.step),
     )
-    step_fn = make_train_step(net, physics, cfg, disc=disc, mesh=mesh)
+    if partition != "dp" and mesh is None:
+        raise ValueError(f"partition {partition!r} requires a mesh")
+    state_shardings = None
+    if mesh is not None:
+        from style_transfer_based_holographic_imaging_tpu.parallel import (
+            partition_state_shardings,
+        )
+
+        if config.data.batch_size % mesh.shape[cfg.dp_axis]:
+            raise ValueError(
+                f"batch_size {config.data.batch_size} must divide the "
+                f"'{cfg.dp_axis}' mesh axis ({mesh.shape[cfg.dp_axis]})"
+            )
+        state_shardings = partition_state_shardings(partition, state, mesh)
+    step_fn = make_train_step(
+        net, physics, cfg, disc=disc, mesh=mesh, state_shardings=state_shardings
+    )
     rng_base = jax.random.key(config.data.seed + 2)
 
     if iterations is None:

@@ -399,3 +399,66 @@ def test_train_step_tp_x_zero_composed():
         float(jax.device_get(aux1["loss_total"]))
         - float(jax.device_get(aux2["loss_total"]))
     ) < 1e-5
+
+
+def test_partition_state_shardings_dispatch():
+    """Named partition plans resolve / validate correctly."""
+    from style_transfer_based_holographic_imaging_tpu.parallel import (
+        DATA_AXIS,
+        MODEL_AXIS,
+        partition_state_shardings,
+    )
+
+    state = create_train_state(
+        init_net_params(jax.random.key(0), image_size=32), TrainConfig()
+    )
+    mesh = make_mesh(8)
+
+    assert partition_state_shardings("dp", state, mesh) is None
+
+    z = partition_state_shardings("zero1", state, mesh)
+    k = z.params["params"]["decoder"]["conv0"]["kernel"]
+    assert k.is_fully_replicated  # ZeRO-1 keeps params replicated
+    f = partition_state_shardings("fsdp", state, mesh)
+    kf = f.params["params"]["decoder"]["conv0"]["kernel"]
+    assert tuple(kf.spec) == (None, None, DATA_AXIS, None)
+
+    with pytest.raises(ValueError, match="model"):
+        partition_state_shardings("tp", state, mesh)  # no model axis
+    with pytest.raises(ValueError, match="unknown partition"):
+        partition_state_shardings("megatron", state, mesh)
+
+    mesh2 = make_mesh(8, axis_names=(DATA_AXIS, MODEL_AXIS), shape=(2, 4))
+    t = partition_state_shardings("tp_fsdp", state, mesh2)
+    kt = t.params["params"]["decoder"]["conv0"]["kernel"]
+    assert tuple(kt.spec) == (None, None, DATA_AXIS, MODEL_AXIS)
+
+
+def test_train_loop_partition_fsdp(tmp_path):
+    """The user-facing loop (train(partition='fsdp'), ≙ cli train
+    --devices 8 --partition fsdp) runs sharded end to end."""
+    from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+    from style_transfer_based_holographic_imaging_tpu.train import train
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, image_size=64, digit_pad=0),
+        train=TrainConfig(
+            iterations=2, freeze_encoder=False, checkpoint_every=0,
+            log_every=1, checkpoint_dir=str(tmp_path / "run"),
+        ),
+    )
+    state = train(
+        cfg, bank=sklearn_digit_bank()[:8], mesh=make_mesh(8), partition="fsdp"
+    )
+    assert int(jax.device_get(state.step)) == 2
+    k = state.params["params"]["decoder"]["conv0"]["kernel"]
+    assert not k.sharding.is_fully_replicated
+
+    with pytest.raises(ValueError, match="requires a mesh"):
+        train(cfg, bank=sklearn_digit_bank()[:8], partition="zero1")
+    bad = ExperimentConfig(
+        data=DataConfig(batch_size=6, image_size=64, digit_pad=0),
+        train=cfg.train,
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        train(bad, bank=sklearn_digit_bank()[:8], mesh=make_mesh(8))
