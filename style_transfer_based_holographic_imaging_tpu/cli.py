@@ -694,6 +694,77 @@ def cmd_serve(args):
     return 0
 
 
+def cmd_export(args):
+    """Freeze the retrieval program into a self-contained StableHLO artifact
+    (pipelines/export_artifact.py): weights + style vector + refocus distance
+    embedded; runs with jax alone on every exported platform."""
+    _setup_backend(args)
+    import numpy as np
+    import jax.numpy as jnp
+
+    from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+    from style_transfer_based_holographic_imaging_tpu.pipelines import (
+        export_retrieval,
+        load_artifact,
+        save_artifact,
+    )
+
+    params = _load_params(args)
+    style = _load_style(args)
+    if style is None:
+        print("no style vector found — required for export", file=sys.stderr)
+        return 1
+    cfg = _load_config(args) or ExperimentConfig()
+
+    platforms = (
+        tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+        if args.platforms
+        else None
+    )
+    blob, meta = export_retrieval(
+        params,
+        style,
+        cfg,
+        batch_size=args.batch_size,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+        quant_scales=_load_quant_scales(args),
+        style_distance=args.style_distance,
+        platforms=platforms,
+    )
+    save_artifact(args.out, blob, meta)
+    summary = {k: meta[k] for k in meta if k != "config"}
+    summary["bytes"] = os.path.getsize(args.out)
+    print(f"wrote {args.out}  " + json.dumps(summary))
+
+    if args.check:
+        # Re-validate the FROZEN file (not the in-memory program) on the
+        # golden suite, through the same metrics path as `eval`.
+        from style_transfer_based_holographic_imaging_tpu.data import (
+            load_golden_suite,
+        )
+        from style_transfer_based_holographic_imaging_tpu.pipelines import (
+            evaluate_golden_suite,
+        )
+
+        art = load_artifact(args.out)
+        m = evaluate_golden_suite(
+            None,
+            load_golden_suite(),
+            cfg,
+            style_override=style,
+            retrieval_fn=lambda p, holo, sm, ss, d: art.retrieve(np.asarray(holo)),
+        )
+        print(
+            json.dumps(
+                {
+                    k: round(m[k], 4)
+                    for k in ("mean_psnr", "mean_mae", "r2")
+                }
+            )
+        )
+    return 0
+
+
 def cmd_stream(args):
     """Experimental-domain streaming inference (the reference's RBC real-time
     use case, SURVEY.md §3.4) over a .mat hologram tree."""
@@ -1035,6 +1106,25 @@ def main(argv=None):
     p.add_argument("--devices", type=int, default=0,
                    help="batch data-parallel serving over the first N devices")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("export", help="freeze the retrieval program into a "
+                                      "self-contained StableHLO artifact "
+                                      "(runs with jax alone, no model code)")
+    _add_common(p)
+    p.add_argument("--out", type=str, default="model.hstx")
+    p.add_argument("--batch-size", type=int, default=32,
+                   help="compiled batch shape baked into the artifact")
+    p.add_argument("--bf16", action="store_true", default=False,
+                   help="bf16 conv path")
+    p.add_argument("--platforms", type=str, default="cpu,tpu",
+                   help="comma-separated lowering targets (empty = current "
+                        "backend only)")
+    p.add_argument("--style-distance", type=float, default=None,
+                   help="refocus style plane in mm (default: config's)")
+    p.add_argument("--check", action="store_true",
+                   help="re-load the written file and score it on the "
+                        "golden suite")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("doctor", help="backend/transport health + release "
                                       "artifact inventory (JSON)")

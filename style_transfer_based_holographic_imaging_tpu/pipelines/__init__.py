@@ -13,6 +13,12 @@ from style_transfer_based_holographic_imaging_tpu.pipelines.autofocus import (
     autofocus,
     sharpness,
 )
+from style_transfer_based_holographic_imaging_tpu.pipelines.export_artifact import (
+    ArtifactRetrieval,
+    export_retrieval,
+    load_artifact,
+    save_artifact,
+)
 
 __all__ = [
     "retrieval_step",
@@ -22,4 +28,8 @@ __all__ = [
     "stylize",
     "autofocus",
     "sharpness",
+    "export_retrieval",
+    "save_artifact",
+    "load_artifact",
+    "ArtifactRetrieval",
 ]

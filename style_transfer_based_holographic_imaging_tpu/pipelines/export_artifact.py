@@ -1,0 +1,192 @@
+"""AOT-exported serving artifacts: one self-contained StableHLO program.
+
+The reference deploys by shipping Python source plus three torch
+checkpoints and a style vector that the entry script re-assembles at
+startup (test_field_retrieval_mnist.py:70-102). This module adds a
+deployment path with no reference analogue: freeze the WHOLE retrieval
+program — weights, style vector and the static refocus distance baked in
+as constants, sqrt → VGG encode → AdaIN → decode → distance head → ASM
+refocus → DCT unwrap — into one serialized `jax.export` (StableHLO)
+artifact. The artifact
+
+* needs NO model code to run (``load_artifact`` + jax only — nothing from
+  this package), so serving hosts never import the framework;
+* is multi-platform: lowered for every platform named at export time
+  (default cpu+tpu), the same file runs on a dev machine and a TPU pod;
+* skips Python tracing at load (the dominant host-side cold-start cost);
+  XLA compiles the pre-lowered StableHLO directly, and that compile hits
+  the persistent compilation cache across process restarts;
+* pins the numerics: a release artifact can be re-validated bit-for-bit
+  years later regardless of model-code drift.
+
+The export uses the XLA ASM backend (``asm_backend="xla"``): StableHLO
+serialization of Mosaic ``tpu_custom_call`` payloads would tie the
+artifact to one TPU generation, defeating portability. The int8
+(``quant_scales``) and bf16 serving paths export fine — they are pure XLA
+ops.
+
+File format: ``HSTXPRT1`` magic, 8-byte little-endian header length, JSON
+header (shape/platform/provenance metadata), then the `jax.export` blob.
+
+CLI: ``holostyle export --checkpoint ... --out model.hstx`` /
+``holostyle eval --artifact model.hstx`` (golden-suite check of a frozen
+artifact).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import struct
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+
+__all__ = [
+    "export_retrieval",
+    "save_artifact",
+    "load_artifact",
+    "ArtifactRetrieval",
+]
+
+_MAGIC = b"HSTXPRT1"
+_RESULT_KEYS = ("amp_foc", "ph_foc", "distance_pred", "amp_field", "ph_field")
+
+
+def export_retrieval(
+    params,
+    style_vector: Tuple[np.ndarray, np.ndarray],
+    config: Optional[ExperimentConfig] = None,
+    *,
+    batch_size: int = 32,
+    dtype=None,
+    quant_scales: Optional[Dict[str, float]] = None,
+    style_distance: Optional[float] = None,
+    platforms: Optional[Tuple[str, ...]] = ("cpu", "tpu"),
+) -> Tuple[bytes, dict]:
+    """Export the fixed-shape retrieval program; returns (blob, metadata).
+
+    Mirrors ``pipelines.server.RetrievalService``'s program exactly (same
+    static style distance in network units, same NCHW contract), but with
+    params + style vector embedded as program constants. ``platforms=None``
+    exports for the current backend only.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from style_transfer_based_holographic_imaging_tpu.models.net import (
+        StyleTransferNet,
+    )
+    from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
+        retrieval_step,
+    )
+
+    cfg = config or ExperimentConfig()
+    image_size = int(cfg.model.image_size)
+    d_s_mm = (
+        cfg.data.style_distances[0] if style_distance is None else style_distance
+    )
+    d_style = float(cfg.physics.to_network_units(d_s_mm))
+
+    # Host copies: closed-over numpy embeds directly as StableHLO constants
+    # (a closed-over DEVICE array would be fetched at lowering — the jit
+    # closure-constant trap in CLAUDE.md).
+    params_h = jax.device_get(params)
+    sm = np.asarray(style_vector[0], np.float32)
+    ss = np.asarray(style_vector[1], np.float32)
+
+    net = StyleTransferNet(dtype=dtype or jnp.float32, width=cfg.model.width)
+    step = functools.partial(
+        retrieval_step,
+        physics=cfg.physics,
+        alpha=cfg.eval.alpha,
+        net=net,
+        quant_scales=quant_scales,
+        quant_dtype=dtype or jnp.bfloat16,
+        asm_backend="xla",
+    )
+
+    def fn(holo):
+        out = step(params_h, holo, sm, ss, d_style)
+        return {k: out[k] for k in _RESULT_KEYS if k in out}
+
+    spec = jax.ShapeDtypeStruct((batch_size, 1, image_size, image_size), jnp.float32)
+    kw = {} if platforms is None else {"platforms": tuple(platforms)}
+    exported = jexport.export(jax.jit(fn), **kw)(spec)
+    meta = {
+        "batch_size": batch_size,
+        "image_size": image_size,
+        "platforms": list(exported.platforms),
+        "style_distance_mm": float(d_s_mm),
+        "quantized": quant_scales is not None,
+        "dtype": str(np.dtype(dtype).name) if dtype is not None else "float32",
+        "width": cfg.model.width,
+        "result_keys": list(_RESULT_KEYS),
+        "config": cfg.to_json(),
+    }
+    return exported.serialize(), meta
+
+
+def save_artifact(path: str, blob: bytes, meta: dict) -> None:
+    header = json.dumps(meta).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<Q", len(header)))
+        f.write(header)
+        f.write(blob)
+
+
+@dataclass
+class ArtifactRetrieval:
+    """A loaded artifact: ``meta`` + a padded/chunked ``retrieve``."""
+
+    meta: dict
+    _exported: object
+
+    def __call__(self, holo):
+        """Raw call at the compiled batch size (device arrays in/out)."""
+        return self._exported.call(holo)
+
+    def retrieve(self, holo: np.ndarray) -> Dict[str, np.ndarray]:
+        """Run (B, 1, S, S) intensity holograms for any B >= 1, padding and
+        chunking to the compiled batch (same contract as the server)."""
+        import jax
+
+        holo = np.asarray(holo, np.float32)
+        if holo.ndim == 3:
+            holo = holo[:, None]
+        bs, s = self.meta["batch_size"], self.meta["image_size"]
+        if holo.ndim != 4 or holo.shape[1] != 1 or holo.shape[2:] != (s, s):
+            raise ValueError(
+                f"expected (B, 1, {s}, {s}) intensity holograms, got {holo.shape}"
+            )
+        n = holo.shape[0]
+        outs = []
+        for i in range(0, n, bs):
+            chunk = holo[i : i + bs]
+            if chunk.shape[0] < bs:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], bs - chunk.shape[0], axis=0)]
+                )
+            outs.append(jax.device_get(self._exported.call(chunk)))
+        return {
+            k: np.concatenate([o[k] for o in outs])[:n] for k in outs[0]
+        }
+
+
+def load_artifact(path: str) -> ArtifactRetrieval:
+    """Load a ``save_artifact`` file. Requires only jax — no model code."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not a retrieval artifact (bad magic)")
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        meta = json.loads(f.read(hlen).decode("utf-8"))
+        blob = f.read()
+    return ArtifactRetrieval(meta, jexport.deserialize(blob))

@@ -275,6 +275,7 @@ def evaluate_golden_suite(
     refine_steps: int = 0,
     refine_distance: bool = False,
     quant_scales: Optional[Dict[str, float]] = None,
+    retrieval_fn=None,
 ) -> Dict[str, Any]:
     """Run the bundled 20x5 golden suite and emit the reference's metrics.
 
@@ -292,7 +293,12 @@ def evaluate_golden_suite(
 
     config = config or ExperimentConfig()
     physics = config.physics
-    fn = make_retrieval_fn(
+    # ``retrieval_fn`` overrides the built program with any callable of the
+    # same (params, holo, sm, ss, d_style) -> dict contract — e.g. a frozen
+    # export artifact (pipelines.export_artifact), so a release file can be
+    # re-validated on the golden suite without the model code it was built
+    # from.
+    fn = retrieval_fn or make_retrieval_fn(
         physics,
         alpha=config.eval.alpha,
         dtype=dtype,

@@ -1,0 +1,97 @@
+"""AOT export artifact (pipelines/export_artifact.py): serialize the whole
+retrieval program to StableHLO, reload it without model code, match the live
+program bit-for-bit."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+from style_transfer_based_holographic_imaging_tpu.models import init_net_params
+from style_transfer_based_holographic_imaging_tpu.pipelines import (
+    export_retrieval,
+    load_artifact,
+    make_retrieval_fn,
+    save_artifact,
+)
+
+CFG = ExperimentConfig()
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    params = init_net_params(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    sm = rng.rand(512).astype(np.float32)
+    ss = (rng.rand(512) + 0.5).astype(np.float32)
+    blob, meta = export_retrieval(
+        params, (sm, ss), CFG, batch_size=2, platforms=("cpu",)
+    )
+    path = str(tmp_path_factory.mktemp("export") / "model.hstx")
+    save_artifact(path, blob, meta)
+    return params, sm, ss, path
+
+
+def test_artifact_matches_live_program(artifact):
+    params, sm, ss, path = artifact
+    art = load_artifact(path)
+    assert art.meta["batch_size"] == 2
+    assert art.meta["platforms"] == ["cpu"]
+    assert art.meta["result_keys"][:2] == ["amp_foc", "ph_foc"]
+
+    holo = np.random.RandomState(1).rand(2, 1, 128, 128).astype(np.float32) * 0.5
+    out = art.retrieve(holo)
+
+    fn = make_retrieval_fn(CFG.physics, alpha=CFG.eval.alpha)
+    d = float(CFG.physics.to_network_units(CFG.data.style_distances[0]))
+    ref = jax.device_get(fn(params, holo, jnp.asarray(sm), jnp.asarray(ss), d))
+    for k in ("amp_foc", "ph_foc", "distance_pred", "amp_field", "ph_field"):
+        assert float(np.max(np.abs(out[k] - np.asarray(ref[k])))) < 2e-4, k
+
+
+def test_artifact_pads_and_chunks(artifact):
+    _, _, _, path = artifact
+    art = load_artifact(path)
+    # 3 samples through a compiled batch of 2: chunk + pad-with-last + trim.
+    holo = np.random.RandomState(2).rand(3, 1, 128, 128).astype(np.float32)
+    out = art.retrieve(holo)
+    assert out["ph_foc"].shape[0] == 3
+    # (B, S, S) input is promoted to (B, 1, S, S); padding repeats the last
+    # sample, so singletons work too.
+    one = art.retrieve(holo[:1, 0])
+    assert one["ph_foc"].shape[0] == 1
+    assert np.allclose(one["ph_foc"], out["ph_foc"][:1], atol=1e-6)
+    with pytest.raises(ValueError, match="expected"):
+        art.retrieve(np.zeros((2, 1, 64, 64), np.float32))
+
+
+def test_artifact_bad_magic(tmp_path):
+    p = tmp_path / "junk.hstx"
+    p.write_bytes(b"NOTANART" + b"\0" * 64)
+    with pytest.raises(ValueError, match="bad magic"):
+        load_artifact(str(p))
+
+
+def test_golden_eval_accepts_artifact_fn(artifact):
+    """evaluate_golden_suite(retrieval_fn=...) scores a frozen artifact with
+    the standard metrics path (the `cli export --check` flow)."""
+    from style_transfer_based_holographic_imaging_tpu.data import load_golden_suite
+    from style_transfer_based_holographic_imaging_tpu.pipelines import (
+        evaluate_golden_suite,
+    )
+
+    _, sm, ss, path = artifact
+    art = load_artifact(path)
+    g = load_golden_suite()
+    m = evaluate_golden_suite(
+        None,
+        g,
+        CFG,
+        style_override=(sm, ss),
+        retrieval_fn=lambda p, holo, s1, s2, d: art.retrieve(np.asarray(holo)),
+    )
+    assert np.isfinite(m["mean_psnr"]) and np.isfinite(m["r2"])
+    assert len(m["distance_true_um"]) == 100
