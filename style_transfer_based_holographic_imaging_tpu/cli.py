@@ -656,9 +656,30 @@ def cmd_serve(args):
 
     from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
     from style_transfer_based_holographic_imaging_tpu.pipelines.server import (
+        ArtifactService,
         RetrievalService,
         serve_forever,
     )
+
+    if args.artifact:
+        # Frozen-program serving: everything comes from the .hstx file.
+        if args.refine or (args.devices and args.devices > 1):
+            print(
+                "--artifact serving is single-device, network-only "
+                "(--refine/--devices need the live program)",
+                file=sys.stderr,
+            )
+            return 1
+        service = ArtifactService(args.artifact)
+        print("compiling artifact program ...", file=sys.stderr)
+        service.warmup()
+        print(
+            f"serving on http://{args.host}:{args.port}  "
+            + json.dumps(service.health()),
+            file=sys.stderr,
+        )
+        serve_forever(service, args.host, args.port)
+        return 0
 
     params = _load_params(args)
     style = _load_style(args)
@@ -1105,6 +1126,9 @@ def main(argv=None):
     p.add_argument("--refine", type=int, default=0, metavar="STEPS")
     p.add_argument("--devices", type=int, default=0,
                    help="batch data-parallel serving over the first N devices")
+    p.add_argument("--artifact", type=str, default=None, metavar="HSTX",
+                   help="serve a frozen export artifact instead of a "
+                        "checkpoint (see the 'export' command)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("export", help="freeze the retrieval program into a "

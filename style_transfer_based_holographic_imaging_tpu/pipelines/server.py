@@ -42,9 +42,68 @@ from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval impo
     make_retrieval_fn,
 )
 
-__all__ = ["RetrievalService", "serve_forever", "retrieve_remote"]
+__all__ = [
+    "RetrievalService",
+    "ArtifactService",
+    "serve_forever",
+    "retrieve_remote",
+]
 
 _RESULT_KEYS = ("amp_foc", "ph_foc", "distance_pred", "amp_field", "ph_field")
+
+
+class ArtifactService:
+    """Serve a frozen export artifact (pipelines/export_artifact.py).
+
+    Same ``retrieve``/``health`` surface as `RetrievalService` (so
+    `serve_forever` takes either), but the program, weights, style vector
+    and refocus distance all come from ONE ``.hstx`` file — the serving
+    host needs jax and this package's serving layer only, no checkpoint
+    tree and no model code. Padding/chunking to the compiled batch lives
+    in ``ArtifactRetrieval.retrieve``.
+    """
+
+    def __init__(self, path: str):
+        from style_transfer_based_holographic_imaging_tpu.pipelines.export_artifact import (
+            load_artifact,
+        )
+
+        self.path = path
+        self._art = load_artifact(path)
+        self.meta = self._art.meta
+        self.batch_size = int(self.meta["batch_size"])
+        self.image_size = int(self.meta["image_size"])
+        self._lock = threading.Lock()
+        self.n_served = 0
+
+    def warmup(self) -> None:
+        """Trigger the one-time XLA compile before the first request."""
+        self.retrieve(
+            np.full((1, 1, self.image_size, self.image_size), 0.1, np.float32)
+        )
+        self.n_served = 0
+
+    def retrieve(self, holo: np.ndarray) -> Dict[str, np.ndarray]:
+        with self._lock:
+            out = self._art.retrieve(holo)
+            self.n_served += next(iter(out.values())).shape[0]
+        return out
+
+    def health(self) -> Dict:
+        import jax
+
+        return {
+            "status": "ok",
+            "device": str(jax.devices()[0]),
+            "artifact": self.path,
+            "platforms": self.meta.get("platforms"),
+            "batch_size": self.batch_size,
+            "image_size": self.image_size,
+            "width": self.meta.get("width"),
+            "quantized": self.meta.get("quantized"),
+            "refine_steps": 0,
+            "n_served": self.n_served,
+        }
 
 
 class RetrievalService:

@@ -95,3 +95,37 @@ def test_golden_eval_accepts_artifact_fn(artifact):
     )
     assert np.isfinite(m["mean_psnr"]) and np.isfinite(m["r2"])
     assert len(m["distance_true_um"]) == 100
+
+
+def test_artifact_service_http(artifact):
+    """`cli serve --artifact`: the frozen file behind the HTTP daemon —
+    healthz advertises the artifact, /retrieve round-trips."""
+    import threading
+
+    from http.server import ThreadingHTTPServer
+
+    from style_transfer_based_holographic_imaging_tpu.pipelines.server import (
+        ArtifactService,
+        _make_handler,
+        retrieve_remote,
+    )
+
+    _, _, _, path = artifact
+    svc = ArtifactService(path)
+    svc.warmup()
+    assert svc.health()["artifact"] == path
+    assert svc.health()["platforms"] == ["cpu"]
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(svc))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_port}"
+        holo = np.random.RandomState(3).rand(3, 1, 128, 128).astype(np.float32)
+        out = retrieve_remote(url, holo)
+        ref = svc.retrieve(holo)
+        assert out["ph_foc"].shape == (3, 1, 128, 128)
+        assert np.allclose(out["distance_pred"], ref["distance_pred"], atol=1e-6)
+        assert svc.health()["n_served"] == 6
+    finally:
+        httpd.shutdown()
