@@ -19,11 +19,13 @@ artifact. The artifact
 * pins the numerics: a release artifact can be re-validated bit-for-bit
   years later regardless of model-code drift.
 
-The export uses the XLA ASM backend (``asm_backend="xla"``): StableHLO
-serialization of Mosaic ``tpu_custom_call`` payloads would tie the
+The default export uses the XLA ASM backend (``asm_backend="xla"``):
+StableHLO serialization of Mosaic ``tpu_custom_call`` payloads ties the
 artifact to one TPU generation, defeating portability. The int8
 (``quant_scales``) and bf16 serving paths export fine — they are pure XLA
-ops.
+ops. ``asm_backend="pallas"`` opts into a TPU-only artifact that embeds
+the fused Mosaic ASM kernel (the live server's fast path); export it ON
+the target TPU host so Mosaic lowers for the right chip generation.
 
 File format: ``HSTXPRT1`` magic, 8-byte little-endian header length, JSON
 header (shape/platform/provenance metadata), then the `jax.export` blob.
@@ -66,6 +68,7 @@ def export_retrieval(
     quant_scales: Optional[Dict[str, float]] = None,
     style_distance: Optional[float] = None,
     platforms: Optional[Tuple[str, ...]] = ("cpu", "tpu"),
+    asm_backend: str = "xla",
 ) -> Tuple[bytes, dict]:
     """Export the fixed-shape retrieval program; returns (blob, metadata).
 
@@ -73,6 +76,12 @@ def export_retrieval(
     static style distance in network units, same NCHW contract), but with
     params + style vector embedded as program constants. ``platforms=None``
     exports for the current backend only.
+
+    ``asm_backend="pallas"`` embeds the fused Mosaic ASM kernel (the live
+    server's fast path — measured 42.4k vs 25.5k holo/s on the int8 ultra
+    tier at b=512 on v5e). The Mosaic payload is compiled for ONE TPU
+    generation, so this forces ``platforms=("tpu",)`` and trades away the
+    cpu portability of the default XLA export.
     """
     import jax
     import jax.numpy as jnp
@@ -99,6 +108,14 @@ def export_retrieval(
     sm = np.asarray(style_vector[0], np.float32)
     ss = np.asarray(style_vector[1], np.float32)
 
+    if asm_backend not in ("xla", "pallas"):
+        raise ValueError(f"asm_backend must be 'xla' or 'pallas', got {asm_backend!r}")
+    kw = {}
+    if asm_backend == "pallas":
+        platforms = ("tpu",)
+        kw["disabled_checks"] = [
+            jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")
+        ]
     net = StyleTransferNet(dtype=dtype or jnp.float32, width=cfg.model.width)
     step = functools.partial(
         retrieval_step,
@@ -107,7 +124,7 @@ def export_retrieval(
         net=net,
         quant_scales=quant_scales,
         quant_dtype=dtype or jnp.bfloat16,
-        asm_backend="xla",
+        asm_backend=asm_backend,
     )
 
     def fn(holo):
@@ -115,7 +132,8 @@ def export_retrieval(
         return {k: out[k] for k in _RESULT_KEYS if k in out}
 
     spec = jax.ShapeDtypeStruct((batch_size, 1, image_size, image_size), jnp.float32)
-    kw = {} if platforms is None else {"platforms": tuple(platforms)}
+    if platforms is not None:
+        kw["platforms"] = tuple(platforms)
     exported = jexport.export(jax.jit(fn), **kw)(spec)
     meta = {
         "batch_size": batch_size,
@@ -125,6 +143,7 @@ def export_retrieval(
         "quantized": quant_scales is not None,
         "dtype": str(np.dtype(dtype).name) if dtype is not None else "float32",
         "width": cfg.model.width,
+        "asm_backend": asm_backend,
         "result_keys": list(_RESULT_KEYS),
         "config": cfg.to_json(),
     }

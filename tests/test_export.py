@@ -97,6 +97,32 @@ def test_golden_eval_accepts_artifact_fn(artifact):
     assert len(m["distance_true_um"]) == 100
 
 
+def test_pallas_export_is_tpu_only(artifact, tmp_path):
+    """asm_backend='pallas' embeds the Mosaic ASM kernel: the artifact is
+    forced to platforms=['tpu'] (regardless of what was asked for) and
+    refuses to execute on the CPU host."""
+    params, sm, ss, _ = artifact
+    blob, meta = export_retrieval(
+        params,
+        (sm, ss),
+        CFG,
+        batch_size=1,
+        platforms=("cpu", "tpu"),
+        asm_backend="pallas",
+    )
+    assert meta["platforms"] == ["tpu"]
+    assert meta["asm_backend"] == "pallas"
+    path = str(tmp_path / "tpu_only.hstx")
+    save_artifact(path, blob, meta)
+    art = load_artifact(path)
+    holo = np.zeros((1, 1, 128, 128), np.float32)
+    with pytest.raises(Exception, match="(?i)platform"):
+        art.retrieve(holo)
+
+    with pytest.raises(ValueError, match="asm_backend"):
+        export_retrieval(params, (sm, ss), CFG, batch_size=1, asm_backend="cuda")
+
+
 def test_artifact_service_http(artifact):
     """`cli serve --artifact`: the frozen file behind the HTTP daemon —
     healthz advertises the artifact, /retrieve round-trips."""
