@@ -51,7 +51,10 @@ def main():
         wait_for_tpu,
     )
 
-    if not wait_for_tpu(900.0):
+    # 1500s ≈ 4 probe windows: a wedged axon lease usually clears after one
+    # ~6-min quiet period, but 2026-08-19 needed three (900s gave up just
+    # before the lease recovered).
+    if not wait_for_tpu(1500.0):
         print(json.dumps({
             "metric": "MNIST field-retrieval throughput",
             "value": 0.0, "unit": "holograms/sec/chip", "vs_baseline": 0.0,
