@@ -275,17 +275,31 @@ def main():
                 file=sys.stderr,
             )
             if art_best > headline:
+                # Label the frozen file with ITS OWN measured golden quality
+                # (scored from the .hstx by exp_artifact_backends.py) — the
+                # live checkpoint's gq numbers belong to the jit path above.
+                try:
+                    with open(
+                        os.path.join(tier_dir, "artifact_golden_metrics.json")
+                    ) as f:
+                        aq = json.load(f)
+                    quality = (
+                        f"frozen-program golden {aq['mean_psnr']:.1f} dB / "
+                        f"R2 {aq['r2']:.3f}"
+                    )
+                except OSError:
+                    quality = "frozen-program golden not separately scored"
                 headline = art_best
                 headline_label = (
                     f"ultra release frozen .hstx artifact, width "
                     f"{cfg.model.width}, int8, Mosaic ASM kernel, batch {b_a};"
-                    f" golden {gq['mean_psnr']:.1f} dB"
+                    f" {quality}; source checkpoint regression-gated at "
+                    f"{gq['mean_psnr']:.1f} dB"
                     + (
                         f" / {gq['refined_mean_psnr']:.1f} dB refined"
                         if "refined_mean_psnr" in gq
                         else ""
                     )
-                    + ", regression-gated"
                 )
         except Exception as e:  # noqa: BLE001 — artifact round is best-effort
             print(f"frozen-artifact round skipped: {e}", file=sys.stderr)

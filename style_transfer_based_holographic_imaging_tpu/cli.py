@@ -670,7 +670,23 @@ def cmd_serve(args):
                 file=sys.stderr,
             )
             return 1
+        if args.quant or args.checkpoint or args.style_vector:
+            print(
+                "--artifact serving takes the program, weights, style vector "
+                "and quantization from the .hstx file — drop "
+                "--quant/--checkpoint/--style-vector (use 'export' to change "
+                "them)",
+                file=sys.stderr,
+            )
+            return 1
         service = ArtifactService(args.artifact)
+        if args.batch_size is not None and args.batch_size != service.batch_size:
+            print(
+                f"note: --batch-size {args.batch_size} ignored — the artifact "
+                f"was compiled at batch {service.batch_size}; requests are "
+                f"padded/chunked to that",
+                file=sys.stderr,
+            )
         print("compiling artifact program ...", file=sys.stderr)
         service.warmup()
         print(
@@ -698,7 +714,7 @@ def cmd_serve(args):
         params,
         style,
         cfg,
-        batch_size=args.batch_size,
+        batch_size=args.batch_size or 32,
         dtype=jnp.bfloat16 if args.bf16 else None,
         quant_scales=_load_quant_scales(args),
         refine_steps=args.refine,
@@ -781,10 +797,29 @@ def cmd_export(args):
             evaluate_golden_suite,
         )
 
+        suite = load_golden_suite()
+        # The artifact bakes ONE refocus plane; the retrieval_fn below drops
+        # the per-batch style distance evaluate_golden_suite would pass. If
+        # the baked plane differs from the suite's recorded one the scores
+        # are meaningless, not merely bad — refuse rather than mislead.
+        golden_mm = np.unique(np.round(suite.distance_style, 6))
+        if len(golden_mm) != 1 or abs(
+            float(golden_mm[0]) - meta["style_distance_mm"]
+        ) > 1e-6:
+            print(
+                f"--check skipped: artifact bakes a "
+                f"{meta['style_distance_mm']} mm refocus plane but the golden "
+                f"suite is recorded at "
+                f"{[round(float(v), 6) for v in golden_mm]} mm — the scores "
+                f"would not be comparable",
+                file=sys.stderr,
+            )
+            return 0
+
         art = load_artifact(args.out)
         m = evaluate_golden_suite(
             None,
-            load_golden_suite(),
+            suite,
             cfg,
             style_override=style,
             retrieval_fn=lambda p, holo, sm, ss, d: art.retrieve(np.asarray(holo)),
@@ -1132,8 +1167,9 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8100)
-    p.add_argument("--batch-size", type=int, default=32,
-                   help="compiled batch shape; requests are padded/chunked")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="compiled batch shape; requests are padded/chunked "
+                        "(default 32; fixed by the file with --artifact)")
     p.add_argument("--bf16", action="store_true", default=True,
                    help="bf16 conv path (default on)")
     p.add_argument("--fp32", dest="bf16", action="store_false")
@@ -1174,4 +1210,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

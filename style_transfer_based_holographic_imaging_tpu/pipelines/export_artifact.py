@@ -30,9 +30,9 @@ the target TPU host so Mosaic lowers for the right chip generation.
 File format: ``HSTXPRT1`` magic, 8-byte little-endian header length, JSON
 header (shape/platform/provenance metadata), then the `jax.export` blob.
 
-CLI: ``holostyle export --checkpoint ... --out model.hstx`` /
-``holostyle eval --artifact model.hstx`` (golden-suite check of a frozen
-artifact).
+CLI: ``holostyle export --checkpoint ... --out model.hstx`` to freeze
+(add ``--check`` for a golden-suite score of the written file) and
+``holostyle serve --artifact model.hstx`` to serve it.
 """
 
 from __future__ import annotations
@@ -55,6 +55,8 @@ __all__ = [
 ]
 
 _MAGIC = b"HSTXPRT1"
+# The serving result contract. pipelines/server.py imports this — the frozen
+# artifact's outputs and the live server's response keys must stay identical.
 _RESULT_KEYS = ("amp_foc", "ph_foc", "distance_pred", "amp_field", "ph_field")
 
 
@@ -179,9 +181,14 @@ class ArtifactRetrieval:
         if holo.ndim == 3:
             holo = holo[:, None]
         bs, s = self.meta["batch_size"], self.meta["image_size"]
-        if holo.ndim != 4 or holo.shape[1] != 1 or holo.shape[2:] != (s, s):
+        if (
+            holo.ndim != 4
+            or holo.shape[0] == 0
+            or holo.shape[1] != 1
+            or holo.shape[2:] != (s, s)
+        ):
             raise ValueError(
-                f"expected (B, 1, {s}, {s}) intensity holograms, got {holo.shape}"
+                f"expected (B>=1, 1, {s}, {s}) intensity holograms, got {holo.shape}"
             )
         n = holo.shape[0]
         outs = []

@@ -38,6 +38,9 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+from style_transfer_based_holographic_imaging_tpu.pipelines.export_artifact import (
+    _RESULT_KEYS,
+)
 from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
     make_retrieval_fn,
 )
@@ -48,8 +51,6 @@ __all__ = [
     "serve_forever",
     "retrieve_remote",
 ]
-
-_RESULT_KEYS = ("amp_foc", "ph_foc", "distance_pred", "amp_field", "ph_field")
 
 
 class ArtifactService:
@@ -232,13 +233,12 @@ class RetrievalService:
         holo = np.asarray(holo, np.float32)
         if holo.ndim == 3:
             holo = holo[:, None]
-        if holo.ndim != 4 or holo.shape[1] != 1 or holo.shape[2:] != (
-            self.image_size,
-            self.image_size,
+        if holo.ndim != 4 or holo.shape[0] == 0 or holo.shape[1] != 1 or (
+            holo.shape[2:] != (self.image_size, self.image_size)
         ):
             raise ValueError(
-                f"expected (B, 1, {self.image_size}, {self.image_size}) intensity "
-                f"holograms, got {holo.shape}"
+                f"expected (B>=1, 1, {self.image_size}, {self.image_size}) "
+                f"intensity holograms, got {holo.shape}"
             )
         n = holo.shape[0]
         outs = []

@@ -66,6 +66,20 @@ def test_artifact_pads_and_chunks(artifact):
     assert np.allclose(one["ph_foc"], out["ph_foc"][:1], atol=1e-6)
     with pytest.raises(ValueError, match="expected"):
         art.retrieve(np.zeros((2, 1, 64, 64), np.float32))
+    # Empty batches fail the shape contract (not an IndexError deep inside).
+    with pytest.raises(ValueError, match="expected"):
+        art.retrieve(np.zeros((0, 1, 128, 128), np.float32))
+
+
+def test_result_keys_shared_with_server():
+    """The frozen artifact's output contract IS the live server's response
+    contract — one constant, imported, not copied."""
+    from style_transfer_based_holographic_imaging_tpu.pipelines import (
+        export_artifact,
+        server,
+    )
+
+    assert server._RESULT_KEYS is export_artifact._RESULT_KEYS
 
 
 def test_artifact_bad_magic(tmp_path):

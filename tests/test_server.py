@@ -74,6 +74,9 @@ class TestService:
     def test_shape_validation(self, service):
         with pytest.raises(ValueError, match="expected"):
             service.retrieve(np.zeros((2, 1, 16, 16), np.float32))
+        s = service.image_size
+        with pytest.raises(ValueError, match="expected"):
+            service.retrieve(np.zeros((0, 1, s, s), np.float32))
 
     def test_3d_input_promoted(self, service):
         out = service.retrieve(_holo(2)[:, 0])
