@@ -47,6 +47,10 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from style_transfer_based_holographic_imaging_tpu.utils.misc import (
+    is_tpu_platform,
+)
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -181,6 +185,30 @@ def _cmm(are, aim, bre, bim, precision_name="highest"):
     )
 
 
+def _padded_dims(h: int, w: int, pad: bool):
+    """The 2x replicate-pad rule shared by every propagate variant."""
+    ph = h // 2 if pad else 0
+    pw = w // 2 if pad else 0
+    return h + 2 * ph, w + 2 * pw
+
+
+def _factor_matrices(h: int, w: int, fh: int, fw: int):
+    """Device factor matrices for both DFT stages of one (h, w) program.
+
+    Returns (are, aim, bre, bim, cre, cim, dre, dim): the row factors A/C
+    from ``_folded_factors`` plus the column factors B = (F R_w)^T and
+    D = (conj(F)/fw)[:, lo:hi] = C_w^T (DFT symmetry), with the square-image
+    reuse applied. One definition — the dynamic and const kernels must use
+    identical factor layouts.
+    """
+    are, aim, cre, cim = (jnp.asarray(m) for m in _folded_factors(h, fh))
+    if (w, fw) == (h, fh):
+        awre, awim, cwre, cwim = are, aim, cre, cim
+    else:
+        awre, awim, cwre, cwim = (jnp.asarray(m) for m in _folded_factors(w, fw))
+    return are, aim, awre.T, awim.T, cre, cim, cwre.T, cwim.T
+
+
 def _make_kernel_const(precision_name: str, group: int = 1):
     """Kernel variant for a TRACE-TIME-CONSTANT propagation distance.
 
@@ -223,9 +251,7 @@ def _make_kernel_const(precision_name: str, group: int = 1):
 
 def _make_kernel(h: int, w: int, pad: bool, g_coef: float, precision_name: str,
                  group: int = 1):
-    ph = h // 2 if pad else 0
-    pw = w // 2 if pad else 0
-    fh, fw = h + 2 * ph, w + 2 * pw
+    fh, fw = _padded_dims(h, w, pad)
 
     def kernel(d_ref, xre_ref, xim_ref, are_ref, aim_ref, bre_ref, bim_ref,
                cre_ref, cim_ref, dre_ref, dim_ref, kz_ref, yre_ref, yim_ref):
@@ -284,14 +310,7 @@ def _propagate_pallas_impl(xre, xim, dist, *, wavelength, pixel_size, pad, inter
     g = group if group >= 1 and b % group == 0 else 1
     kernel, fh, fw = _make_kernel(h, w, pad, 2.0 * math.pi / wavelength, precision_name, g)
 
-    are, aim, cre, cim = (jnp.asarray(m) for m in _folded_factors(h, fh))
-    if (w, fw) == (h, fh):
-        awre, awim, cwre, cwim = are, aim, cre, cim
-    else:
-        awre, awim, cwre, cwim = (jnp.asarray(m) for m in _folded_factors(w, fw))
-    # B = (F R_w)^T and D = (conj(F)/fw)[:, lo:hi] = C_w^T (DFT symmetry).
-    bre, bim = awre.T, awim.T
-    dre, dim = cwre.T, cwim.T
+    are, aim, bre, bim, cre, cim, dre, dim = _factor_matrices(h, w, fh, fw)
     kz = _asm._kz_rel_grid(fh, fw, pixel_size=pixel_size, wavelength=wavelength)
 
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -332,17 +351,8 @@ def _propagate_pallas_const_impl(xre, xim, *, distance, wavelength, pixel_size, 
     b, h, w = xre.shape
     g = group if group >= 1 and b % group == 0 else 1
     kernel = _make_kernel_const(precision_name, g)
-    ph = h // 2 if pad else 0
-    pw = w // 2 if pad else 0
-    fh, fw = h + 2 * ph, w + 2 * pw
-
-    are, aim, cre, cim = (jnp.asarray(m) for m in _folded_factors(h, fh))
-    if (w, fw) == (h, fh):
-        awre, awim, cwre, cwim = are, aim, cre, cim
-    else:
-        awre, awim, cwre, cwim = (jnp.asarray(m) for m in _folded_factors(w, fw))
-    bre, bim = awre.T, awim.T
-    dre, dim = cwre.T, cwim.T
+    fh, fw = _padded_dims(h, w, pad)
+    are, aim, bre, bim, cre, cim, dre, dim = _factor_matrices(h, w, fh, fw)
 
     # Transfer function for the static distance, built with the SAME fp32
     # graph ops as the dynamic paths (kz grid, d * kz, cos/sin, output phasor
@@ -564,7 +574,7 @@ def propagate_pallas(
     if not jnp.issubdtype(field.dtype, jnp.complexfloating):
         field = field.astype(jnp.complex64)
     if interpret is None:
-        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        interpret = not is_tpu_platform()
 
     lead = field.shape[:-2]
     h, w = field.shape[-2], field.shape[-1]

@@ -29,6 +29,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from style_transfer_based_holographic_imaging_tpu.utils.misc import (
+    is_tpu_platform,
+)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -103,11 +107,10 @@ def _pool2x2(x: jax.Array) -> jax.Array:
     return jnp.max(jnp.max(x, axis=4), axis=2)
 
 
-def _batch_tile(b: int) -> int:
-    # One image per grid step: a 128^2x64 bf16 image is 2.1 MB but the
-    # fp32 accumulator + padded copy push the per-step footprint to ~14 MB;
-    # bt=2 measured OOM against the 16 MB default scoped-vmem limit.
-    return 1
+# One image per grid step: a 128^2x64 bf16 image is 2.1 MB but the
+# fp32 accumulator + padded copy push the per-step footprint to ~14 MB;
+# a 2-image tile measured OOM against the 16 MB default scoped-vmem limit.
+_BATCH_TILE = 1
 
 
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -128,7 +131,7 @@ def _tail_kernel(x_ref, k8_ref, b8_ref, k9_ref, b9_ref, k10_ref, b10_ref, out_re
 def _fused_conv_tail_impl(x, k8, b8, k9, b9, k10, b10, *, interpret):
     b, h, w, c = x.shape
     o = k10.shape[-1]
-    bt = _batch_tile(b)
+    bt = _BATCH_TILE
     dt = x.dtype
     full = lambda *shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -178,7 +181,7 @@ def fused_conv_tail(x, k8, b8, k9, b9, k10, b10, *, interpret: bool | None = Non
     Requires H, W even and >= 4 (reflection + pooling-free tail shapes).
     """
     if interpret is None:
-        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        interpret = not is_tpu_platform()
     dt = x.dtype
     cast = lambda a: a.astype(dt)
     return _fused_conv_tail_impl(
@@ -200,7 +203,7 @@ def _head_kernel(x_ref, k1_ref, b1_ref, k2_ref, b2_ref, out_ref):
 def _fused_encoder_head_impl(x, k1, b1, k2, b2, *, interpret):
     b, h, w, _ = x.shape
     o = k2.shape[-1]
-    bt = _batch_tile(b)
+    bt = _BATCH_TILE
     dt = x.dtype
     full = lambda *shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -250,7 +253,7 @@ def fused_encoder_head(x, k1, b1, k2, b2, *, interpret: bool | None = None):
     """conv1_1/relu/conv1_2/relu/2x2-pool fused per-image in VMEM
     (inference only; H, W even)."""
     if interpret is None:
-        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        interpret = not is_tpu_platform()
     dt = x.dtype
     return _fused_encoder_head_impl(
         x, k1.astype(dt), b1, k2.astype(dt), b2, interpret=interpret

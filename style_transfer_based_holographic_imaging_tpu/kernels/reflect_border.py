@@ -30,6 +30,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from style_transfer_based_holographic_imaging_tpu.utils.misc import (
+    is_tpu_platform,
+)
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -62,8 +66,12 @@ def border_lines_einsum(x: jax.Array, kernel: jax.Array) -> tuple[jax.Array, jax
             "bsjlc,jco->bslo", win, kd, preferred_element_type=jnp.float32
         )
 
-    k_sym = kernel[0] + kernel[2]  # weight of the reflected neighbour line
-    k_mid = kernel[1]
+    # Sum the folded taps in fp32: a bf16 kernel summed in bf16 would round
+    # the combined weight BEFORE the multiply, diverging from the interior
+    # conv (which accumulates k[0]*x and k[2]*x separately in fp32).
+    kf = kernel.astype(jnp.float32)
+    k_sym = kf[0] + kf[2]  # weight of the reflected neighbour line
+    k_mid = kf[1]
 
     near_r = jnp.stack([x[:, 1], x[:, h - 2]], axis=1)  # (B, 2, W, C)
     edge_r = jnp.stack([x[:, 0], x[:, h - 1]], axis=1)
@@ -73,8 +81,8 @@ def border_lines_einsum(x: jax.Array, kernel: jax.Array) -> tuple[jax.Array, jax
     near_c = jnp.stack([x[:, :, 1], x[:, :, w - 2]], axis=1)  # (B, 2, H, C)
     edge_c = jnp.stack([x[:, :, 0], x[:, :, w - 1]], axis=1)
     # column taps contract against kernel columns: K^T relative to rows
-    kt_sym = kernel[:, 0] + kernel[:, 2]
-    kt_mid = kernel[:, 1]
+    kt_sym = kf[:, 0] + kf[:, 2]
+    kt_mid = kf[:, 1]
     cols_t = (contract(pad_r(near_c), kt_sym) + contract(pad_r(edge_c), kt_mid)).astype(dt)
     return rows, jnp.transpose(cols_t, (0, 2, 1, 3))  # (B, H, 2, O)
 
@@ -89,11 +97,14 @@ def _batch_tile(b: int) -> int:
 def _make_kernel(h: int, w: int):
     def kernel_fn(xr_ref, xc_ref, k_ref, rows_ref, cols_ref):
         s = pl.program_id(1)
-        kd = k_ref[...]  # (3, 3, C, O)
-        k_sym = (kd[0] + kd[2]).astype(jnp.float32)
-        k_mid = kd[1].astype(jnp.float32)
-        kt_sym = (kd[:, 0] + kd[:, 2]).astype(jnp.float32)
-        kt_mid = kd[:, 1].astype(jnp.float32)
+        # Fold taps in fp32 (cast BEFORE the add): summing a bf16 kernel in
+        # bf16 rounds the combined weight, unlike the interior conv's
+        # separate fp32 accumulation of k[0]*x and k[2]*x.
+        kd = k_ref[...].astype(jnp.float32)  # (3, 3, C, O)
+        k_sym = kd[0] + kd[2]
+        k_mid = kd[1]
+        kt_sym = kd[:, 0] + kd[:, 2]
+        kt_mid = kd[:, 1]
 
         dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
 
@@ -200,7 +211,7 @@ def border_lines_pallas(
     if x.shape[1] % 2:
         return border_lines_einsum(x, kernel)
     if interpret is None:
-        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        interpret = not is_tpu_platform()
     return _border_lines_cvjp(x, kernel, interpret)
 
 
@@ -214,7 +225,7 @@ def border_lines(
     """
     if backend == "einsum":
         return border_lines_einsum(x, kernel)
-    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    on_tpu = is_tpu_platform()
     if backend == "pallas" or (backend == "auto" and on_tpu):
         return border_lines_pallas(x, kernel)
     return border_lines_einsum(x, kernel)

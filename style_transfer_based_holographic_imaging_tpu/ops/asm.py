@@ -165,6 +165,11 @@ def propagate(
     # registers a custom_partitioning that shards its batch dim with the
     # operands (kernels/asm_pallas.py).
     explicit = backend is not None
+    if explicit and backend not in ("xla", "pallas", "auto"):
+        # Same validation as set_asm_backend: an unknown per-call override
+        # must not silently route to XLA (that turns backend comparisons
+        # into XLA-vs-XLA).
+        raise ValueError(f"unknown ASM backend {backend!r}")
     backend = backend or _BACKEND
     eligible = (
         pad
@@ -175,8 +180,11 @@ def propagate(
         and min(h, w) >= 16
     )
     if backend == "auto":
-        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        backend = "pallas" if (eligible and on_tpu) else "xla"
+        from style_transfer_based_holographic_imaging_tpu.utils.misc import (
+            is_tpu_platform,
+        )
+
+        backend = "pallas" if (eligible and is_tpu_platform()) else "xla"
     elif backend == "pallas" and not eligible:
         reason = (
             "backend='pallas' requires pad=True, pad_factor=2, "

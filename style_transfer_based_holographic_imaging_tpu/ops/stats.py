@@ -38,6 +38,14 @@ def calc_mean_std(
     Returns ``(mean, std)`` with the spatial axes kept as size-1 so they
     broadcast against ``feat``. Uses the unbiased variance + eps like torch.
     """
+    if feat.ndim < 4:
+        # Mirror the reference's 4-D assert (function.py:6). Axis 0 is the
+        # batch: an unbatched (H, W, C) input would silently reduce over W
+        # only — reject instead of returning wrong statistics.
+        raise ValueError(
+            f"calc_mean_std expects batched (N, ..., C) features with >= 2 "
+            f"spatial axes, got shape {feat.shape}; add a leading batch axis"
+        )
     axes = _spatial_axes(feat.ndim, channel_axis)
     n = 1
     for a in axes:

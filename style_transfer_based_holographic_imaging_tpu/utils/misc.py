@@ -13,7 +13,21 @@ __all__ = [
     "amp_pha_from_real_imag",
     "receptive_field",
     "static_scalar",
+    "is_tpu_platform",
 ]
+
+
+def is_tpu_platform() -> bool:
+    """True when the default JAX device is a TPU.
+
+    The one place that knows every TPU platform string — "tpu" (local
+    chips) and "axon" (this dev harness's remote-TPU relay). Pallas kernel
+    dispatch and interpret-mode fallbacks key off this; keeping the probe
+    here means a new platform name is a one-line change.
+    """
+    import jax
+
+    return jax.devices()[0].platform in ("tpu", "axon")
 
 
 def static_scalar(x) -> float | None:
