@@ -60,6 +60,16 @@ def make_mesh(
         shape = (len(devs),) if len(axis_names) == 1 else None
         if shape is None:
             raise ValueError("shape required for multi-axis meshes")
+    n_mesh = int(np.prod(tuple(shape)))
+    if n_mesh > len(devs):
+        raise ValueError(
+            f"mesh shape {tuple(shape)} needs {n_mesh} devices but only "
+            f"{len(devs)} are available"
+        )
+    # A shape given without n_devices means "use the first prod(shape)
+    # devices", not "reshape every device" (which would crash for partial
+    # meshes like shape=(2, 2) on 8 devices).
+    devs = devs[:n_mesh]
     arr = np.asarray(devs).reshape(tuple(shape))
     return Mesh(arr, tuple(axis_names))
 

@@ -386,6 +386,17 @@ def make_pipeline_retrieval_fn(
     ``P(axis, None)``-sharded — each device holds only its stage.
     """
     n_stages = int(mesh.shape[axis])
+    p = params["params"] if "params" in params else params
+    if "decoder_ph" in p:
+        # The chain packs encoder/decoder/distance_g only; silently dropping
+        # a phase decoder would return decoder channel 1 as the phase while
+        # retrieval_step(net=...with_phase_decoder=True) routes decoder_ph —
+        # divergent numerics with no error.
+        raise NotImplementedError(
+            "pipeline retrieval does not support with_phase_decoder "
+            "checkpoints (params contain 'decoder_ph'); use the single-device "
+            "pipelines.retrieval_step"
+        )
     chain = _build_chain(image_size, width)
     stages = _partition(chain, n_stages)
     packed, offsets = _pack_stage_params(params, stages, width)
@@ -493,9 +504,14 @@ def make_pipeline_retrieval_fn(
                 f"batch {content_holo.shape[0]} not divisible by "
                 f"n_micro={n_micro}"
             )
-        return step(packed, content_holo, style_mean, style_std,
-                    float(d_style))
+        # d_style is a static jit arg (trace-time refocus constant). Without
+        # physics it is unused — normalize it so varying values don't force
+        # spurious recompiles of the whole shard_map program.
+        d = float(d_style) if physics is not None else 0.0
+        return step(packed, content_holo, style_mean, style_std, d)
 
-    fn.stages = pipeline_plan(image_size, n_stages, width)
+    # The executed plan, verbatim (not re-derived via pipeline_plan, which
+    # would re-run the chain build + partition DP and could desync).
+    fn.stages = [["/".join(l.path) for l in st] for st in stages]
     fn.packed_params = packed
     return fn

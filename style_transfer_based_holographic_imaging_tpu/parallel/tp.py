@@ -44,11 +44,22 @@ def _leaf_spec(path: tuple, leaf: Any, axis_size: int, axis: str) -> P:
     """PartitionSpec for one parameter leaf: shard the output-channel dim.
 
     Conv kernels are HWIO (flax.linen NHWC convention), dense kernels IO,
-    biases/scales (O,). The output dim is always last; shard it iff it
-    divides the mesh axis. Everything else is replicated.
+    biases/scales (O,) — output dim last — EXCEPT the decoder's
+    ``ConvTranspose2x2`` upsamplers, which keep torch's native
+    (C_in, C_out, 2, 2) layout so converted checkpoints drop in unchanged
+    (models/layers.py): there the output dim is dim 1 and the trailing
+    (2, 2) are spatial taps. Shard the output dim iff it divides the mesh
+    axis; everything else is replicated.
     """
     shape = getattr(leaf, "shape", ())
     if not shape:
+        return P()
+    # Torch-layout transposed-conv kernel: 4-D with a trailing (2, 2)
+    # spatial tap pair (HWIO kernels have their small spatial dims LEADING,
+    # so the layouts cannot collide for these ladders).
+    if len(shape) == 4 and shape[2:] == (2, 2):
+        if shape[1] % axis_size == 0 and shape[1] >= axis_size:
+            return P(None, axis, None, None)
         return P()
     out_ch = shape[-1]
     if out_ch % axis_size == 0 and out_ch >= axis_size:

@@ -196,6 +196,11 @@ def make_train_step(
     moments channel-sharded over a ``model`` axis of a 2-D (data x model)
     mesh — tensor-parallel training: GSPMD inserts the activation
     collectives in the forward/backward while the Adam update stays local.
+
+    The returned fn DONATES its input state (the buffers are reused for the
+    output state, halving peak HBM): after the first call the state you
+    passed in — including the params tree it holds — is deleted. Keep using
+    the RETURNED state; re-init/re-restore if you need the originals.
     """
 
     if cfg.grad_accum > 1 and cfg.adv_weight:
@@ -313,6 +318,10 @@ def train(
 ) -> TrainState:
     """Run (or continue) training; returns the final state.
 
+    A passed-in ``state`` is DONATED to the jitted step (see
+    ``make_train_step``): its buffers are consumed by the first iteration,
+    so retain and use the RETURNED state only.
+
     Covers the reference's reconstructed training pipeline end to end:
     infinite synthesized-hologram stream, iteration-based loop, periodic
     orbax checkpoints (``checkpoints/iter_<n>``).
@@ -375,10 +384,18 @@ def train(
             partition_state_shardings,
         )
 
+        if cfg.dp_axis not in mesh.shape:
+            raise ValueError(
+                f"mesh axes {tuple(mesh.axis_names)} lack the data-parallel "
+                f"axis {cfg.dp_axis!r} (TrainConfig.dp_axis) — training "
+                f"always shards the batch over it; for TP-only training use "
+                f"a (data=1, model=N) mesh"
+            )
         if config.data.batch_size % mesh.shape[cfg.dp_axis]:
             raise ValueError(
-                f"batch_size {config.data.batch_size} must divide the "
-                f"'{cfg.dp_axis}' mesh axis ({mesh.shape[cfg.dp_axis]})"
+                f"batch_size {config.data.batch_size} must be divisible by "
+                f"the '{cfg.dp_axis}' mesh axis size "
+                f"({mesh.shape[cfg.dp_axis]})"
             )
         state_shardings = partition_state_shardings(partition, state, mesh)
     step_fn = make_train_step(

@@ -145,11 +145,19 @@ def test_inference_tp_sharded_matches_replicated(goldens):
     tp_params = tp_shard_params(params, mesh)
 
     # conv4_1 (512 out-channels) must hold 512/4 channels per model shard;
-    # the 2-channel decoder head must stay replicated.
+    # the 2-channel decoder head (conv10) must stay replicated; the torch-
+    # layout (C_in, C_out, 2, 2) upsamplers shard their OUTPUT dim (dim 1),
+    # not the trailing 2-wide spatial taps.
+    dec = tp_params["params"]["decoder"]
     k41 = tp_params["params"]["encoder"]["conv4_1"]["kernel"]
     assert k41.addressable_shards[0].data.shape[-1] == k41.shape[-1] // 4
-    head = [v for k, v in tp_params["params"]["decoder"].items() if "kernel" in v]
-    assert head[-1]["kernel"].addressable_shards[0].data.shape == head[-1]["kernel"].shape
+    head = dec["conv10"]["kernel"]
+    assert head.shape[-1] == 2  # the amp/phase output conv
+    assert head.addressable_shards[0].data.shape == head.shape
+    up0 = dec["up0"]["kernel"]
+    assert up0.addressable_shards[0].data.shape == (
+        up0.shape[0], up0.shape[1] // 4, 2, 2,
+    )
 
     dp = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
     out = fn(
@@ -460,7 +468,7 @@ def test_train_loop_partition_fsdp(tmp_path):
         data=DataConfig(batch_size=6, image_size=64, digit_pad=0),
         train=cfg.train,
     )
-    with pytest.raises(ValueError, match="must divide"):
+    with pytest.raises(ValueError, match="divisible by"):
         train(bad, bank=sklearn_digit_bank()[:8], mesh=make_mesh(8))
 
 
