@@ -176,12 +176,6 @@ def packed_deconv(
     return y + pack_bias(bias).astype(dt)
 
 
-# one symmetric-int8 quantizer for the whole repo — semantics must match the
-# serving path exactly (the module contract: "int8 variants mirror
-# models/quant.py")
-from style_transfer_based_holographic_imaging_tpu.models.quant import _quantize
-
-
 def packed_reflect_conv(
     z: jax.Array,
     kernel: jax.Array,
@@ -208,16 +202,10 @@ def packed_reflect_conv(
         y = y + bp.astype(dt)
         return jax.nn.relu(y) if relu else y
 
-    sx = jnp.float32(127.0) / jnp.maximum(act_max, 1e-8)
-    sk = jnp.float32(127.0) / jnp.maximum(
-        jnp.max(jnp.abs(kp), axis=(0, 1, 2)), 1e-8
-    )  # (4O,) per-packed-output-channel
-    zq = _quantize(z.astype(jnp.float32), sx)
-    kq = _quantize(kp, sk[None, None, None, :])
-    acc = jax.lax.conv_general_dilated(
-        zq, kq, (1, 1), "VALID", dimension_numbers=_DN,
-        preferred_element_type=jnp.int32,
+    # One shared int8 epilogue with the serving path (per-packed-output-
+    # channel kernel scales fall out of the (3,3,4I,4O) packed kernel).
+    from style_transfer_based_holographic_imaging_tpu.models.quant import (
+        int8_conv_valid,
     )
-    m = (1.0 / (sx * sk)).astype(dt)
-    y = acc.astype(dt) * m + bp.astype(dt)
-    return jax.nn.relu(y) if relu else y
+
+    return int8_conv_valid(z, kp, bp, dt=dt, act_max=act_max, relu=relu)

@@ -83,15 +83,22 @@ def set_fused_stacks(mode: str) -> None:
     _FUSED_STACKS = mode
 
 
-def _use_fused(x: jax.Array, observer) -> bool:
+def _use_fused(x: jax.Array, observer, channels: int = 64) -> bool:
+    """Whether the opt-in fused conv stacks apply to this input.
+
+    ``channels`` is the stack's max INTERMEDIATE channel count (the input's
+    own channel dim understates it for the encoder head, whose 1/3-channel
+    input widens to w(64) inside the stack — pass the real kernel width).
+    """
     if _FUSED_STACKS != "on" or observer is not None:
         return False
     if x.shape[1] < 4 or x.shape[1] % 2 or x.shape[2] < 4 or x.shape[2] % 2:
         return False
-    # Per-grid-step VMEM footprint: the image + padded copy + fp32
-    # accumulator must fit the raised 100 MB limit (conv_stack.py); bail to
-    # the XLA path for large fields of view.
-    if x.shape[1] * x.shape[2] * max(x.shape[3], 64) * 12 > 64 * 1024 * 1024:
+    # Per-grid-step VMEM footprint ~ H*W*C*12 B (image + padded copy + fp32
+    # accumulator). conv_stack.py raises the scoped-VMEM limit to 100 MB;
+    # gate at 64 MB for headroom (the estimate ignores Mosaic's own
+    # temporaries). Bail to the XLA path for large fields of view.
+    if x.shape[1] * x.shape[2] * max(x.shape[3], channels) * 12 > 64 * 1024 * 1024:
         return False
     return True
 
@@ -122,6 +129,44 @@ def _quantize(x: jax.Array, scale: jax.Array) -> jax.Array:
     return jnp.clip(jnp.round(x * scale), -127.0, 127.0).astype(jnp.int8)
 
 
+def int8_conv_valid(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    *,
+    dt: Any,
+    act_max: jax.Array,
+    relu: bool,
+    pad_fn=None,
+) -> jax.Array:
+    """The ONE int8 serving epilogue: per-tensor activation scale from the
+    calibrated absmax, per-output-channel kernel scales, int8 quantize
+    (``pad_fn`` applied to the quantized activations), int32-accumulate
+    VALID conv, fused 1/(sx*sk) dequant + bias (+ relu).
+
+    Shared by the serving path (``_reflect_conv``) and the packed
+    space-to-depth formulation (kernels/packed_conv.py) so the two cannot
+    drift — the packed variant's parity contract depends on byte-identical
+    quantization semantics.
+    """
+    sx = jnp.float32(127.0) / jnp.maximum(act_max, 1e-8)
+    k32 = kernel.astype(jnp.float32)
+    sk = jnp.float32(127.0) / jnp.maximum(
+        jnp.max(jnp.abs(k32), axis=(0, 1, 2)), 1e-8
+    )  # (O,) per-output-channel
+    xq = _quantize(x.astype(jnp.float32), sx)
+    if pad_fn is not None:
+        xq = pad_fn(xq)
+    kq = _quantize(k32, sk[None, None, None, :])
+    acc = jax.lax.conv_general_dilated(
+        xq, kq, (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.int32,
+    )
+    m = (1.0 / (sx * sk)).astype(dt)  # (O,)
+    y = acc.astype(dt) * m + bias.astype(dt)
+    return jax.nn.relu(y) if relu else y
+
+
 def _reflect_conv(
     x: jax.Array,
     kernel: jax.Array,
@@ -142,25 +187,17 @@ def _reflect_conv(
         y = y + bias.astype(dt)
         return jax.nn.relu(y) if relu else y
 
-    sx = jnp.float32(127.0) / jnp.maximum(act_max, 1e-8)
-    k32 = kernel.astype(jnp.float32)
-    sk = jnp.float32(127.0) / jnp.maximum(
-        jnp.max(jnp.abs(k32), axis=(0, 1, 2)), 1e-8
-    )  # (O,) per-output-channel
-    xq = _quantize(x.astype(jnp.float32), sx)
-    xq = jnp.pad(
-        xq,
-        ((0, 0), (1, 1), (1, 1), (0, 0)),
-        mode="reflect",
+    return int8_conv_valid(
+        x,
+        kernel,
+        bias,
+        dt=dt,
+        act_max=act_max,
+        relu=relu,
+        pad_fn=lambda xq: jnp.pad(
+            xq, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect"
+        ),
     )
-    kq = _quantize(k32, sk[None, None, None, :])
-    acc = jax.lax.conv_general_dilated(
-        xq, kq, (1, 1), "VALID", dimension_numbers=_DN,
-        preferred_element_type=jnp.int32,
-    )
-    m = (1.0 / (sx * sk)).astype(dt)  # (O,)
-    y = acc.astype(dt) * m + bias.astype(dt)
-    return jax.nn.relu(y) if relu else y
 
 
 def _conv_transpose_2x2(x: jax.Array, kernel: jax.Array, bias: jax.Array, dt: Any):
@@ -251,7 +288,14 @@ def quant_encode(
             )
             + stem["bias"].astype(dt)
         )
-    fused_head = _use_fused(x, observer) and n_taps >= 2
+    fused_head = (
+        _use_fused(
+            x,
+            observer,
+            channels=int(enc_params["conv1_1"]["kernel"].shape[-1]),
+        )
+        and n_taps >= 2
+    )
     if fused_head:
         from style_transfer_based_holographic_imaging_tpu.kernels.conv_stack import (
             fused_encoder_head,
@@ -302,7 +346,9 @@ def quant_decode(
         if kind == "up":
             x = jax.nn.relu(_conv_transpose_2x2(x, p["kernel"], p["bias"], dt))
             continue
-        if name == "conv8" and _use_fused(x, observer):
+        if name == "conv8" and _use_fused(
+            x, observer, channels=int(x.shape[3])
+        ):
             from style_transfer_based_holographic_imaging_tpu.kernels.conv_stack import (
                 fused_conv_tail,
             )

@@ -46,8 +46,14 @@ __all__ = [
 # (forced). Settable via env or set_asm_backend(). The Pallas kernel measures
 # ~17% faster than the XLA composition on a v5e (7.6 vs 9.0 ms per 256-batch
 # 128^2 propagate) at 1e-6 parity.
+_BACKENDS = ("xla", "pallas", "auto")
+# The fused DFT-matmul kernel holds its factor matrices, kz grid and the
+# padded spectrum in VMEM per grid step — beyond this side length the
+# footprint exceeds the ~16 MB/core budget (and the O(n^3) DFT loses to FFT
+# anyway), so "auto" routes larger fields to XLA.
+_PALLAS_MAX_SIDE = 256
 _BACKEND = os.environ.get("STHI_ASM_BACKEND", "auto").lower()
-if _BACKEND not in ("xla", "pallas", "auto"):
+if _BACKEND not in _BACKENDS:
     raise ValueError(
         f"STHI_ASM_BACKEND={_BACKEND!r} is not one of 'xla'|'pallas'|'auto'"
     )
@@ -64,7 +70,7 @@ def set_asm_backend(name: str) -> None:
     exactly this reason).
     """
     global _BACKEND
-    if name not in ("xla", "pallas", "auto"):
+    if name not in _BACKENDS:
         raise ValueError(f"unknown ASM backend {name!r}")
     _BACKEND = name
 
@@ -165,7 +171,7 @@ def propagate(
     # registers a custom_partitioning that shards its batch dim with the
     # operands (kernels/asm_pallas.py).
     explicit = backend is not None
-    if explicit and backend not in ("xla", "pallas", "auto"):
+    if explicit and backend not in _BACKENDS:
         # Same validation as set_asm_backend: an unknown per-call override
         # must not silently route to XLA (that turns backend comparisons
         # into XLA-vs-XLA).
@@ -178,6 +184,7 @@ def propagate(
         and h % 2 == 0
         and w % 2 == 0
         and min(h, w) >= 16
+        and max(h, w) <= _PALLAS_MAX_SIDE
     )
     if backend == "auto":
         from style_transfer_based_holographic_imaging_tpu.utils.misc import (
@@ -188,7 +195,7 @@ def propagate(
     elif backend == "pallas" and not eligible:
         reason = (
             "backend='pallas' requires pad=True, pad_factor=2, "
-            "band_limit=False and even H/W >= 16 "
+            f"band_limit=False and even H/W in [16, {_PALLAS_MAX_SIDE}] "
             f"(got pad={pad}, pad_factor={pad_factor}, band_limit={band_limit}, "
             f"shape {h}x{w})"
         )

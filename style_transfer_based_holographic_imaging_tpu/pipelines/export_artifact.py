@@ -161,6 +161,47 @@ def save_artifact(path: str, blob: bytes, meta: dict) -> None:
         f.write(blob)
 
 
+def run_chunked(
+    holo: np.ndarray, batch_size: int, image_size: int, run
+) -> Dict[str, np.ndarray]:
+    """Validate (B, 1, S, S) holograms, pad the ragged tail with its last
+    frame, run ``run`` per compiled-batch chunk, trim and concatenate.
+
+    The ONE batching contract shared by the live server (RetrievalService)
+    and frozen artifacts (ArtifactRetrieval) — a single implementation so
+    the wire-visible padding/chunking semantics cannot diverge.
+    """
+    holo = np.asarray(holo, np.float32)
+    if holo.ndim == 3:
+        holo = holo[:, None]
+    if (
+        holo.ndim != 4
+        or holo.shape[0] == 0
+        or holo.shape[1] != 1
+        or holo.shape[2:] != (image_size, image_size)
+    ):
+        raise ValueError(
+            f"expected (B>=1, 1, {image_size}, {image_size}) intensity "
+            f"holograms, got {holo.shape}"
+        )
+    n = holo.shape[0]
+    outs = []
+    for lo in range(0, n, batch_size):
+        chunk = holo[lo : lo + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0
+            )
+        out = run(chunk)
+        if pad:
+            out = {k: v[: batch_size - pad] for k, v in out.items()}
+        outs.append(out)
+    if len(outs) == 1:
+        return outs[0]
+    return {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
+
+
 @dataclass
 class ArtifactRetrieval:
     """A loaded artifact: ``meta`` + a padded/chunked ``retrieve``."""
@@ -177,31 +218,15 @@ class ArtifactRetrieval:
         chunking to the compiled batch (same contract as the server)."""
         import jax
 
-        holo = np.asarray(holo, np.float32)
-        if holo.ndim == 3:
-            holo = holo[:, None]
-        bs, s = self.meta["batch_size"], self.meta["image_size"]
-        if (
-            holo.ndim != 4
-            or holo.shape[0] == 0
-            or holo.shape[1] != 1
-            or holo.shape[2:] != (s, s)
-        ):
-            raise ValueError(
-                f"expected (B>=1, 1, {s}, {s}) intensity holograms, got {holo.shape}"
-            )
-        n = holo.shape[0]
-        outs = []
-        for i in range(0, n, bs):
-            chunk = holo[i : i + bs]
-            if chunk.shape[0] < bs:
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], bs - chunk.shape[0], axis=0)]
-                )
-            outs.append(jax.device_get(self._exported.call(chunk)))
-        return {
-            k: np.concatenate([o[k] for o in outs])[:n] for k in outs[0]
-        }
+        return run_chunked(
+            holo,
+            int(self.meta["batch_size"]),
+            int(self.meta["image_size"]),
+            lambda chunk: {
+                k: np.asarray(v)
+                for k, v in jax.device_get(self._exported.call(chunk)).items()
+            },
+        )
 
 
 def load_artifact(path: str) -> ArtifactRetrieval:

@@ -139,14 +139,18 @@ def retrieval_step(
         asm_backend=asm_backend,
     )
 
+    # Outputs are fp32 regardless of the conv compute dtype: a bf16 net
+    # would otherwise leak ml_dtypes bfloat16 arrays into np.savez (the
+    # server's npz wire format stores them as raw void '|V2' — unreadable
+    # client-side). bf16 -> fp32 is exact; amp_foc/ph_foc are fp32 already.
     result = {
-        "amp_field": amp,
-        "ph_field": ph,
+        "amp_field": amp.astype(jnp.float32),
+        "ph_field": ph.astype(jnp.float32),
         "amp_foc": amp_foc,
         "ph_foc": ph_foc,
     }
     if d_pred is not None:
-        result["distance_pred"] = d_pred.reshape(-1, 1, 1, 1)
+        result["distance_pred"] = d_pred.reshape(-1, 1, 1, 1).astype(jnp.float32)
     return result
 
 
@@ -377,12 +381,16 @@ def evaluate_golden_suite(
 
     psnr_list = [float(v) for v in jax.device_get(psnr_list)]
     mae_list = [float(v) for v in jax.device_get(mae_list)]
+    # One fetch for all batches' predictions (like psnr/mae above) — a
+    # device_get inside the loop would be a blocking round trip per batch
+    # on the remote backend.
+    d_preds = jax.device_get([p for _, p in distance_pairs])
     distance_pairs = [
         (t, p)
-        for d_true, d_pred in distance_pairs
+        for (d_true, _), d_pred in zip(distance_pairs, d_preds)
         for t, p in zip(
             np.asarray(d_true).reshape(-1).tolist(),
-            np.asarray(jax.device_get(d_pred)).reshape(-1).tolist(),
+            np.asarray(d_pred).reshape(-1).tolist(),
         )
     ]
     pairs = np.asarray(distance_pairs, np.float64)

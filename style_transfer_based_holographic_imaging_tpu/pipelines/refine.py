@@ -34,7 +34,8 @@ __all__ = ["physics_refine"]
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "physics", "steps", "refine_distance", "lr", "tv_weight", "optimize_amp",
+        "physics", "steps", "refine_distance", "lr", "tv_weight",
+        "optimize_amp", "asm_backend",
     ),
 )
 def physics_refine(

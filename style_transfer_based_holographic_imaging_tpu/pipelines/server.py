@@ -136,15 +136,23 @@ class RetrievalService:
         self._in_sharding = None
         if mesh is not None:
             from style_transfer_based_holographic_imaging_tpu.parallel import (
+                DATA_AXIS,
                 batch_sharding,
                 replicated,
             )
 
-            n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-            if self.batch_size % n_dev:
+            # batch_sharding shards over the 'data' axis only — a 2-D
+            # (data x model) serving mesh needs divisibility by that axis,
+            # not the total device count.
+            if DATA_AXIS not in mesh.shape:
                 raise ValueError(
-                    f"batch_size {self.batch_size} must divide by the "
-                    f"{n_dev}-device mesh"
+                    f"serving mesh axes {tuple(mesh.axis_names)} lack the "
+                    f"batch axis {DATA_AXIS!r}"
+                )
+            if self.batch_size % mesh.shape[DATA_AXIS]:
+                raise ValueError(
+                    f"batch_size {self.batch_size} must be divisible by the "
+                    f"'{DATA_AXIS}' mesh axis size ({mesh.shape[DATA_AXIS]})"
                 )
             self._in_sharding = batch_sharding(mesh)
             params = jax.device_put(params, replicated(mesh))
@@ -230,34 +238,16 @@ class RetrievalService:
         Chunks/pads to the compiled batch size; returns host numpy arrays
         trimmed back to the request's B.
         """
-        holo = np.asarray(holo, np.float32)
-        if holo.ndim == 3:
-            holo = holo[:, None]
-        if holo.ndim != 4 or holo.shape[0] == 0 or holo.shape[1] != 1 or (
-            holo.shape[2:] != (self.image_size, self.image_size)
-        ):
-            raise ValueError(
-                f"expected (B>=1, 1, {self.image_size}, {self.image_size}) "
-                f"intensity holograms, got {holo.shape}"
-            )
-        n = holo.shape[0]
-        outs = []
+        from style_transfer_based_holographic_imaging_tpu.pipelines.export_artifact import (
+            run_chunked,
+        )
+
         with self._lock:
-            for lo in range(0, n, self.batch_size):
-                chunk = holo[lo : lo + self.batch_size]
-                pad = self.batch_size - chunk.shape[0]
-                if pad:
-                    chunk = np.concatenate(
-                        [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0
-                    )
-                out = self._run_one(chunk)
-                if pad:
-                    out = {k: v[: self.batch_size - pad] for k, v in out.items()}
-                outs.append(out)
-            self.n_served += n
-        if len(outs) == 1:
-            return outs[0]
-        return {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
+            out = run_chunked(
+                holo, self.batch_size, self.image_size, self._run_one
+            )
+            self.n_served += next(iter(out.values())).shape[0]
+        return out
 
     def health(self) -> Dict:
         return {

@@ -57,7 +57,10 @@ def stream_retrieval(
 
     Each input batch is a dict with ``holo`` (B, 1, H, W); batches are
     prefetched to HBM while the previous batch computes. Yields the
-    retrieval outputs per batch (device arrays — convert lazily to overlap).
+    retrieval outputs (device arrays — convert lazily to overlap) per
+    compiled-size chunk: every batch is padded up / chunked down to the
+    FIRST batch's size so one program serves the whole stream, so a batch
+    larger than the first yields several output dicts.
 
     ``refine_steps > 0`` appends physics-consistent refinement of the
     refocused field against each measured frame (joint amp+phase — the
@@ -89,9 +92,11 @@ def stream_retrieval(
     )
     d_s = config.physics.to_network_units(d_s_mm)
 
-    # Pad any ragged batch (e.g. the stream's tail) up to the first batch's
-    # size host-side: a new input shape would retrace + recompile the whole
-    # retrieval program for one batch. Outputs are trimmed back after.
+    # Normalize every batch to the FIRST batch's size host-side: a new input
+    # shape would retrace + recompile the whole retrieval program for one
+    # batch (minutes on a remote TPU). Smaller batches (e.g. the stream's
+    # ragged tail) are padded up with their last frame; LARGER ones are
+    # chunked down. Outputs are trimmed back after.
     valid_counts: list[int] = []
 
     def padded(src):
@@ -100,14 +105,19 @@ def stream_retrieval(
             b = next(iter(batch.values())).shape[0]
             if first_b is None:
                 first_b = b
-            if b < first_b:
-                pad = first_b - b
-                batch = {
-                    k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
-                    for k, v in batch.items()
-                }
-            valid_counts.append(b)
-            yield batch
+            for lo in range(0, b, first_b):
+                chunk = {k: v[lo : lo + first_b] for k, v in batch.items()}
+                cb = next(iter(chunk.values())).shape[0]
+                if cb < first_b:
+                    pad = first_b - cb
+                    chunk = {
+                        k: np.concatenate(
+                            [v, np.repeat(v[-1:], pad, axis=0)], axis=0
+                        )
+                        for k, v in chunk.items()
+                    }
+                valid_counts.append(cb)
+                yield chunk
 
     for batch in prefetch_to_device(padded(batches), sharding=sharding):
         holo = batch["holo"]

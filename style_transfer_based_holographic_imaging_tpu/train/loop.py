@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import sys
 import time
 from typing import Any, Dict, Optional, Tuple
 
@@ -363,6 +364,29 @@ def train(
             )
         state = create_train_state(params, cfg, disc_params=disc_params)
     else:
+        if cfg.adv_weight and state.disc_params is None:
+            # Resuming an adversarial run from a non-adversarial snapshot:
+            # silently skipping L_adv (the loss fn's disc_params-is-None
+            # guard) would deliver non-adversarial training the user didn't
+            # ask for — attach a fresh discriminator instead.
+            import optax
+
+            print(
+                "note: adv_weight > 0 but the resumed state has no "
+                "discriminator; initializing a fresh one",
+                file=sys.stderr,
+            )
+            disc = PatchDiscriminator(image_size=config.data.image_size)
+            disc_params = disc.init(
+                jax.random.key(config.data.seed + 1),
+                jnp.ones((1, config.data.image_size, config.data.image_size, 1)),
+            )
+            disc_tx = optax.adam(cfg.lr)
+            state = state.replace(
+                disc_params=disc_params,
+                disc_opt_state=disc_tx.init(disc_params),
+                disc_tx=disc_tx,
+            )
         disc = (
             PatchDiscriminator(image_size=config.data.image_size)
             if state.disc_params is not None

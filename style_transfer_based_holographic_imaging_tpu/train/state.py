@@ -153,16 +153,34 @@ def save_checkpoint(state: TrainState, ckpt_dir: str, step: Optional[int] = None
     return path
 
 
+def _snapshot_keys(ckptr, path: str):
+    """Top-level key set of an orbax snapshot (None if metadata is
+    unavailable — older orbax or a foreign layout)."""
+    try:
+        tree = ckptr.metadata(path).item_metadata.tree
+        return set(tree), tree
+    except Exception:  # noqa: BLE001 — fall back to attempt-based restore
+        return None, None
+
+
 def restore_checkpoint(path: str, state: TrainState) -> TrainState:
     """Restore into ``state``'s structure (typed targets keep optax
-    namedtuple optimizer states intact); tolerates older snapshots without
-    the discriminator / EMA fields (orbax cannot restore partial targets, so
-    optional fields are dropped from the target one group at a time)."""
+    namedtuple optimizer states intact).
+
+    orbax cannot restore partial targets, so the target must match the
+    snapshot's key set EXACTLY in both directions: optional groups
+    (discriminator, EMA) the snapshot lacks are dropped from the target,
+    and groups the snapshot has but ``state`` lacks get placeholder targets
+    whose restored values are discarded (with a notice) — e.g. resuming a
+    ``--ema-decay`` run without the flag, or a GAN run with adv_weight=0.
+    """
     import sys
 
+    import numpy as np
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
+    path = os.path.abspath(path)
     base_target = {
         "step": jax.device_get(state.step),
         "params": jax.device_get(state.params),
@@ -177,41 +195,77 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
     if state.ema_params is not None:
         optional["ema"] = {"ema_params": jax.device_get(state.ema_params)}
 
+    snap_keys, snap_meta = _snapshot_keys(ckptr, path)
     restored = None
-    # Try the fullest target first, then every smaller subset of the optional
-    # groups (a snapshot has a group entirely or not at all, but any
-    # combination of groups may be present — e.g. EMA without discriminator).
-    from itertools import combinations
-
-    groups = list(optional)
-    attempts = [
-        keep
-        for r in range(len(groups), -1, -1)
-        for keep in combinations(groups, r)
-    ]
-    for keep in attempts:
+    if snap_keys is not None:
         target = dict(base_target)
-        for g in keep:
-            target.update(optional[g])
-        try:
-            restored = ckptr.restore(os.path.abspath(path), target)
-        except Exception as e:  # noqa: BLE001 — snapshot predates the field
-            if not keep and not groups:
-                raise
-            if keep != tuple(groups):
-                continue
+        dropped = [
+            g for g, sub in optional.items() if not set(sub) <= snap_keys
+        ]
+        for g, sub in optional.items():
+            if g not in dropped:
+                target.update(sub)
+        extras = snap_keys - set(target)
+        if dropped or extras:
             print(
-                f"warning: restore of {path} with all optional fields "
-                f"({'+'.join(groups)}) failed ({type(e).__name__}); trying "
-                "smaller targets — missing components restart from their "
-                "current init",
+                f"note: snapshot {path} "
+                + (f"lacks {'+'.join(dropped)} (restart from init)" if dropped else "")
+                + (" and " if dropped and extras else "")
+                + (
+                    f"carries {'+'.join(sorted(extras))} the run does not "
+                    "use (ignored)"
+                    if extras
+                    else ""
+                ),
                 file=sys.stderr,
             )
-            continue
-        break
-    if restored is None:
-        # Every subset failed — surface the base-target error directly.
-        restored = ckptr.restore(os.path.abspath(path), base_target)
+        for key in sorted(extras):
+            if key == "ema_params":
+                # Same structure/shapes as params by construction.
+                target["ema_params"] = jax.device_get(state.params)
+            else:
+                # Structure recovered from the snapshot's own metadata.
+                target[key] = jax.tree.map(
+                    lambda m: np.zeros(m.shape, m.dtype), snap_meta[key]
+                )
+        restored = ckptr.restore(path, target)
+        if extras:
+            restored = {k: v for k, v in restored.items() if k not in extras}
+    else:
+        # No metadata: try the fullest target first, then every smaller
+        # subset of the optional groups (a snapshot has a group entirely or
+        # not at all, but any combination of groups may be present).
+        from itertools import combinations
+
+        groups = list(optional)
+        attempts = [
+            keep
+            for r in range(len(groups), -1, -1)
+            for keep in combinations(groups, r)
+        ]
+        for keep in attempts:
+            target = dict(base_target)
+            for g in keep:
+                target.update(optional[g])
+            try:
+                restored = ckptr.restore(path, target)
+            except Exception as e:  # noqa: BLE001 — snapshot predates the field
+                if not keep and not groups:
+                    raise
+                if keep != tuple(groups):
+                    continue
+                print(
+                    f"warning: restore of {path} with all optional fields "
+                    f"({'+'.join(groups)}) failed ({type(e).__name__}); "
+                    "trying smaller targets — missing components restart "
+                    "from their current init",
+                    file=sys.stderr,
+                )
+                continue
+            break
+        if restored is None:
+            # Every subset failed — surface the base-target error directly.
+            restored = ckptr.restore(path, base_target)
     state = state.replace(
         step=jnp.asarray(restored["step"]),
         params=restored["params"],

@@ -198,3 +198,76 @@ def test_stream_pads_ragged_tail_single_program():
     assert outs[0]["amp_foc"].shape[0] == 4
     assert outs[1]["amp_foc"].shape[0] == 3  # trimmed, not padded or dropped
     assert stats.n_frames == 7
+
+
+def test_bf16_outputs_are_fp32():
+    """A bf16-net retrieval must return fp32 arrays: ml_dtypes bfloat16
+    leaks through np.savez (the server's npz wire format) as raw void
+    '|V2' arrays the client cannot interpret."""
+    import jax.numpy as jnp
+
+    from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
+
+    small = init_net_params(jax.random.key(0), image_size=32)
+    rng = np.random.default_rng(0)
+    holo = (rng.random((2, 1, 32, 32)) * 0.6 + 0.05).astype(np.float32)
+    sm = rng.random((1, 1, 1, 512)).astype(np.float32)
+    ss = (rng.random((1, 1, 1, 512)) + 0.5).astype(np.float32)
+    fn = make_retrieval_fn(PhysicsConfig(), dtype=jnp.bfloat16)
+    out = fn(small, jnp.asarray(holo), jnp.asarray(sm), jnp.asarray(ss), 0.2)
+    for k, v in out.items():
+        assert v.dtype == jnp.float32, (k, v.dtype)
+
+
+def test_stream_chunks_oversize_batches():
+    """A batch LARGER than the first must be chunked down to the compiled
+    shape (one program, no retrace) — outputs arrive chunk by chunk with
+    the frame total preserved."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from style_transfer_based_holographic_imaging_tpu.config import (
+        DataConfig,
+        ModelConfig,
+    )
+    from style_transfer_based_holographic_imaging_tpu.pipelines.streaming import (
+        StreamStats,
+        stream_retrieval,
+    )
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(image_size=32), data=DataConfig(image_size=32)
+    )
+    small = init_net_params(jax.random.key(0), image_size=32)
+    rng = np.random.default_rng(0)
+    sm = rng.random((1, 1, 1, 512)).astype(np.float32)
+    ss = (rng.random((1, 1, 1, 512)) + 0.5).astype(np.float32)
+    mk = lambda b: {
+        "holo": (rng.random((b, 1, 32, 32)) * 0.6 + 0.05).astype(np.float32)
+    }
+    stats = StreamStats()
+    outs = list(
+        stream_retrieval(small, [mk(2), mk(5)], (sm, ss), cfg, stats=stats)
+    )
+    assert [o["amp_foc"].shape[0] for o in outs] == [2, 2, 2, 1]
+    assert stats.n_frames == 7
+
+
+def test_refine_accepts_asm_backend_string():
+    """asm_backend is a static jit arg — the documented string values must
+    not hit the tracer (regression: TypeError on any non-None value)."""
+    import jax.numpy as jnp
+
+    from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
+    from style_transfer_based_holographic_imaging_tpu.pipelines.refine import (
+        physics_refine,
+    )
+
+    rng = np.random.default_rng(0)
+    amp = jnp.asarray(rng.random((1, 1, 16, 16), np.float32) + 0.1)
+    ph = jnp.asarray(rng.random((1, 1, 16, 16), np.float32))
+    d = jnp.full((1, 1, 1, 1), 0.3, jnp.float32)
+    meas = jnp.asarray(rng.random((1, 1, 16, 16), np.float32) + 0.1)
+    out = physics_refine(
+        amp, ph, d, meas, PhysicsConfig(), steps=2, asm_backend="xla"
+    )
+    assert np.isfinite(float(np.asarray(out["residual"])[0]))

@@ -161,7 +161,7 @@ class TestMeshServing:
         params = init_net_params(jax.random.key(0), image_size=32)
         sm = np.zeros((1, 1, 1, 512), np.float32)
         ss = np.ones((1, 1, 1, 512), np.float32)
-        with pytest.raises(ValueError, match="divide"):
+        with pytest.raises(ValueError, match="divisible"):
             RetrievalService(params, (sm, ss), cfg, batch_size=6, mesh=make_mesh(8))
 
 
@@ -174,3 +174,34 @@ def test_retrieve_remote_client(server_url, service):
     out = retrieve_remote(server_url, holo)
     want = service.retrieve(holo)
     np.testing.assert_allclose(out["amp_foc"], want["amp_foc"], atol=1e-5)
+
+
+class TestMeshServing2D:
+    def test_2d_mesh_checks_data_axis_only(self):
+        """batch_sharding shards over 'data' only — a (data=2, model=2) mesh
+        must accept batch_size=2 (divisible by the data axis, not by the
+        total device count), and a mesh without a 'data' axis must be
+        rejected up front instead of failing opaquely in device_put."""
+        from style_transfer_based_holographic_imaging_tpu.parallel import (
+            DATA_AXIS,
+            MODEL_AXIS,
+            make_mesh,
+        )
+
+        cfg = ExperimentConfig(
+            model=ModelConfig(image_size=32), data=DataConfig(image_size=32)
+        )
+        params = init_net_params(jax.random.key(0), image_size=32)
+        rng = np.random.default_rng(0)
+        sm = rng.random((1, 1, 1, 512), np.float32)
+        ss = rng.random((1, 1, 1, 512), np.float32) + 0.5
+        mesh2d = make_mesh(
+            4, axis_names=(DATA_AXIS, MODEL_AXIS), shape=(2, 2)
+        )
+        svc = RetrievalService(params, (sm, ss), cfg, batch_size=2, mesh=mesh2d)
+        out = svc.retrieve(_holo(2))
+        assert out["amp_foc"].shape == (2, 1, 32, 32)
+
+        bad = make_mesh(4, axis_names=(MODEL_AXIS,), shape=(4,))
+        with pytest.raises(ValueError, match="lack the batch axis"):
+            RetrievalService(params, (sm, ss), cfg, batch_size=4, mesh=bad)

@@ -469,3 +469,69 @@ class TestMixedPrecisionTrain:
         assert _compute_dtype("float32") == jnp.float32
         with pytest.raises(ValueError):
             _compute_dtype("fp16")
+
+
+class TestRestoreDirection:
+    """orbax cannot restore partial targets — both directions of optional-
+    field mismatch between snapshot and run must still restore params."""
+
+    def test_ema_snapshot_into_plain_run(self, tmp_path, small_params):
+        ema_state = create_train_state(
+            small_params,
+            TrainConfig(checkpoint_dir=str(tmp_path), ema_decay=0.9),
+        )
+        path = save_checkpoint(ema_state, str(tmp_path))
+        plain = create_train_state(
+            jax.device_get(init_net_params(jax.random.key(9), image_size=64)),
+            TrainConfig(checkpoint_dir=str(tmp_path)),
+        )
+        restored = restore_checkpoint(path, plain)
+        assert restored.ema_params is None  # run doesn't use EMA
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(ema_state.params)[0]),
+            np.asarray(jax.tree.leaves(restored.params)[0]),
+        )
+
+    def test_gan_snapshot_into_plain_run(self, tmp_path, small_params):
+        from style_transfer_based_holographic_imaging_tpu.models import (
+            PatchDiscriminator,
+        )
+
+        disc = PatchDiscriminator(image_size=64)
+        dp = jax.device_get(
+            disc.init(jax.random.key(1), jnp.ones((1, 64, 64, 1)))
+        )
+        gan = create_train_state(
+            small_params,
+            TrainConfig(checkpoint_dir=str(tmp_path), adv_weight=1.0),
+            disc_params=dp,
+        )
+        path = save_checkpoint(gan, str(tmp_path))
+        plain = create_train_state(
+            jax.device_get(init_net_params(jax.random.key(9), image_size=64)),
+            TrainConfig(checkpoint_dir=str(tmp_path)),
+        )
+        restored = restore_checkpoint(path, plain)
+        assert restored.disc_params is None  # run is non-adversarial
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(gan.params)[0]),
+            np.asarray(jax.tree.leaves(restored.params)[0]),
+        )
+
+
+def test_resume_adv_from_non_adv_state(bank):
+    """Resuming with adv_weight > 0 from a plain state must attach a fresh
+    discriminator (and train it), not silently drop L_adv."""
+    from style_transfer_based_holographic_imaging_tpu.train import train
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=2, image_size=64, digit_pad=16),
+        train=TrainConfig(iterations=1, checkpoint_every=0, adv_weight=1.0),
+    )
+    plain = create_train_state(
+        jax.device_get(init_net_params(jax.random.key(0), image_size=64)),
+        TrainConfig(checkpoint_every=0),
+    )
+    state = train(cfg, bank=bank, state=plain)
+    assert state.disc_params is not None
+    assert state.disc_opt_state is not None
