@@ -287,6 +287,7 @@ def cmd_train(args):
         log_every=args.log_every,
         grad_accum=args.grad_accum,
         ema_decay=args.ema_decay,
+        tensorboard_dir=args.tensorboard_dir,
     )
     if args.domain:
         # Train inside an experimental-domain preset (its physics constants
@@ -1063,6 +1064,10 @@ def main(argv=None):
     p.add_argument("--checkpoint-every", type=int, default=5000)
     p.add_argument("--checkpoint-dir", type=str, default="checkpoints")
     p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--tensorboard-dir", type=str, default="",
+                   help="also mirror the per-log-step scalars to a "
+                        "TensorBoard event dir (reference pins tensorboardX, "
+                        "requirements.txt:6; '' = off)")
     p.add_argument("--train-encoder", action="store_true")
     p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32",
                    help="conv compute dtype; bfloat16 = mixed-precision "
@@ -1206,7 +1211,12 @@ def main(argv=None):
     p.set_defaults(fn=cmd_doctor)
 
     args = parser.parse_args(argv)
-    return args.fn(args)
+    rc = args.fn(args)
+    # Commands return rich objects for programmatic callers (cmd_eval ->
+    # metrics dict, cmd_train -> final TrainState); only explicit int error
+    # codes are process exit statuses — sys.exit(TrainState) would dump the
+    # repr to stderr and exit 1 on a SUCCESSFUL run.
+    return rc if isinstance(rc, int) else 0
 
 
 if __name__ == "__main__":

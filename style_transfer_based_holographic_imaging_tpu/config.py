@@ -143,6 +143,12 @@ class TrainConfig:
                                         # leaving the final checkpoint
                                         # mid-recovery — the averaged weights
                                         # ride through the spike.
+    tensorboard_dir: str = ""           # also mirror the per-log-step scalars
+                                        # to a TensorBoard event dir (the
+                                        # reference pins tensorboardX for this
+                                        # role, requirements.txt:6). "" = off;
+                                        # JSONL in checkpoint_dir stays the
+                                        # always-on structured sink.
 
 
 @dataclass(frozen=True)

@@ -47,6 +47,7 @@ from style_transfer_based_holographic_imaging_tpu.train.losses import (
     lsgan_g_loss,
 )
 from style_transfer_based_holographic_imaging_tpu.train.state import TrainState
+from style_transfer_based_holographic_imaging_tpu.utils.tb import make_writer
 
 __all__ = ["generator_loss_fn", "make_train_step", "train"]
 
@@ -440,35 +441,50 @@ def train(
     # With host-side bookkeeping the loop free-runs and dispatches queue up
     # on the device; only the periodic log line synchronizes.
     start_step = int(state.step)
+    tb = make_writer(cfg.tensorboard_dir)
     t0 = time.time()
-    for i, batch in zip(range(n_iter), sampler):
-        state, aux = step_fn(state, batch, rng_base)
-        step = start_step + i + 1
-        if step % cfg.log_every == 0:
-            aux_host = {k: float(v) for k, v in jax.device_get(aux).items()}
-            rate = cfg.log_every * config.data.batch_size / max(
-                time.time() - t0, 1e-9
-            )
-            t0 = time.time()
-            log_fn(
-                f"step {step} | "
-                + " ".join(f"{k}={v:.4f}" for k, v in sorted(aux_host.items()))
-                + f" | {rate:.1f} img/s"
-            )
-            # Structured sink alongside the checkpoints (the reference pins
-            # tensorboardX for this role, requirements.txt:6; JSONL is the
-            # grep/pandas-friendly equivalent).
-            if cfg.checkpoint_dir:
-                os.makedirs(cfg.checkpoint_dir, exist_ok=True)
-                with open(
-                    os.path.join(cfg.checkpoint_dir, "train_metrics.jsonl"), "a"
-                ) as f:
-                    f.write(
-                        json.dumps(
-                            {"step": step, "img_per_sec": round(rate, 1), **aux_host}
-                        )
-                        + "\n"
+    try:
+        for i, batch in zip(range(n_iter), sampler):
+            state, aux = step_fn(state, batch, rng_base)
+            step = start_step + i + 1
+            if step % cfg.log_every == 0:
+                aux_host = {k: float(v) for k, v in jax.device_get(aux).items()}
+                rate = cfg.log_every * config.data.batch_size / max(
+                    time.time() - t0, 1e-9
+                )
+                t0 = time.time()
+                log_fn(
+                    f"step {step} | "
+                    + " ".join(
+                        f"{k}={v:.4f}" for k, v in sorted(aux_host.items())
                     )
-        if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
-            save_checkpoint(state, cfg.checkpoint_dir)
+                    + f" | {rate:.1f} img/s"
+                )
+                # Structured sink alongside the checkpoints (the reference
+                # pins tensorboardX for this role, requirements.txt:6; JSONL
+                # is the grep/pandas-friendly equivalent, the event dir an
+                # optional mirror).
+                if cfg.checkpoint_dir:
+                    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+                    with open(
+                        os.path.join(cfg.checkpoint_dir, "train_metrics.jsonl"),
+                        "a",
+                    ) as f:
+                        f.write(
+                            json.dumps(
+                                {
+                                    "step": step,
+                                    "img_per_sec": round(rate, 1),
+                                    **aux_host,
+                                }
+                            )
+                            + "\n"
+                        )
+                if tb is not None:
+                    tb.write(step, {"img_per_sec": rate, **aux_host})
+            if cfg.checkpoint_every and step % cfg.checkpoint_every == 0:
+                save_checkpoint(state, cfg.checkpoint_dir)
+    finally:
+        if tb is not None:
+            tb.close()
     return state

@@ -154,6 +154,20 @@ class TestQuantScaleResolution:
         assert _load_quant_scales(args) == {"conv1_1": 2.5}
 
 
+class TestExitCodeNormalization:
+    def test_rich_command_return_exits_zero(self, monkeypatch):
+        """cmd_train/cmd_eval return rich objects (TrainState / metrics
+        dict) for programmatic callers; main() must map those to exit
+        status 0 — sys.exit(TrainState) dumped the repr and exited 1 on a
+        SUCCESSFUL `cli train` run."""
+        from style_transfer_based_holographic_imaging_tpu import cli
+
+        monkeypatch.setattr(cli, "cmd_doctor", lambda args: {"rich": object()})
+        assert cli.main(["doctor", "--cpu"]) == 0
+        monkeypatch.setattr(cli, "cmd_doctor", lambda args: 1)
+        assert cli.main(["doctor", "--cpu"]) == 1
+
+
 class TestDoctorCommand:
     def test_doctor_reports_inventory(self, capsys):
         import json as _json

@@ -312,6 +312,54 @@ class TestTrainMetricsJsonl:
         assert rec["step"] == 2
         assert "loss_total" in rec and "img_per_sec" in rec
 
+    def test_tensorboard_mirror(self, tmp_path):
+        """TrainConfig.tensorboard_dir mirrors the JSONL scalars to a
+        TensorBoard event dir (the reference's tensorboardX role,
+        requirements.txt:6)."""
+        import struct
+
+        event_pb2 = pytest.importorskip("tensorboardX.proto.event_pb2")
+
+        from style_transfer_based_holographic_imaging_tpu.config import (
+            DataConfig,
+            ExperimentConfig,
+            TrainConfig,
+        )
+        from style_transfer_based_holographic_imaging_tpu.data.synth import (
+            sklearn_digit_bank,
+        )
+        from style_transfer_based_holographic_imaging_tpu.train import train
+
+        tb_dir = tmp_path / "tb"
+        cfg = ExperimentConfig(
+            data=DataConfig(batch_size=2, image_size=64, digit_pad=0),
+            train=TrainConfig(
+                iterations=2, freeze_encoder=False, checkpoint_every=0,
+                log_every=1, checkpoint_dir=str(tmp_path / "run"),
+                tensorboard_dir=str(tb_dir),
+            ),
+        )
+        train(cfg, bank=sklearn_digit_bank()[:8])
+
+        files = sorted(tb_dir.glob("events.out.tfevents.*"))
+        assert files, "no event file written"
+        # TFRecord framing: u64 length, u32 len-crc, payload, u32 data-crc.
+        scalars = {}
+        raw = files[0].read_bytes()
+        off = 0
+        while off < len(raw):
+            (length,) = struct.unpack_from("<Q", raw, off)
+            payload = raw[off + 12 : off + 12 + length]
+            off += 12 + length + 4
+            ev = event_pb2.Event.FromString(payload)
+            for v in ev.summary.value:
+                scalars.setdefault(v.tag, []).append((ev.step, v.simple_value))
+        assert "train/loss_total" in scalars
+        assert [s for s, _ in scalars["train/loss_total"]] == [1, 2]
+        assert all(
+            np.isfinite(val) for _, val in scalars["train/loss_total"]
+        )
+
 
 class TestGradAccumulation:
     def test_accumulated_step_matches_full_batch(self, bank, small_params):
