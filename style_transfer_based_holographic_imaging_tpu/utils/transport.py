@@ -22,11 +22,12 @@ import subprocess
 import sys
 import time
 
-__all__ = ["tpu_transport_ready", "wait_for_tpu"]
+__all__ = ["tpu_transport_ready", "wait_for_tpu", "stale_tpu_pids", "sweep_stale_tpu"]
 
 _RELAY_PORT = 8082          # first port of the relay's listen set
 _PROBE_TIMEOUT_S = 240      # one compile + tiny matmul fits well within this
 _QUIET_AFTER_FAILED_PROBE_S = 360   # measured minimum for lease recovery
+_QUIET_MAX_S = 900                  # escalation cap (15 min quiet windows)
 _SETTLE_AFTER_PROBE_S = 60  # the probe subprocess is itself a TPU process
                             # exit; launching the caller's process right after
                             # is the measured wedge trigger ("leave ~1 min
@@ -65,6 +66,65 @@ def _probe_once() -> bool:
         return False
 
 
+def _ancestor_pids() -> set:
+    """This process and its ancestors (never sweep ourselves or our parents)."""
+    pids, pid = set(), os.getpid()
+    while pid > 1:
+        pids.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().split(")")[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
+    return pids
+
+
+def stale_tpu_pids() -> list:
+    """PIDs of OTHER processes holding a TCP connection to the relay port.
+
+    Identified by socket ownership (``ss -tnp``), never by command-line
+    pattern. A second TPU process is the most common wedge cause (only one
+    chip lease exists); after a crash the stale holder blocks every probe.
+    """
+    try:
+        r = subprocess.run(
+            ["ss", "-tnp"], capture_output=True, text=True, timeout=10
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return []
+    pids = set()
+    for line in r.stdout.splitlines():
+        if f":{_RELAY_PORT}" not in line.split("users:")[0]:
+            continue
+        for part in line.split("pid=")[1:]:
+            num = part.split(",")[0].split(")")[0]
+            if num.isdigit():
+                pids.add(int(num))
+    return sorted(pids - _ancestor_pids())
+
+
+def sweep_stale_tpu(log=None) -> int:
+    """SIGKILL other relay-connected processes (stale lease holders).
+
+    Returns the number of processes killed. Only call this when probes are
+    failing AND no legitimate TPU job of yours should be running — a live
+    training run also holds a relay connection.
+    """
+    if log is None:
+        log = lambda m: print(m, file=sys.stderr)  # noqa: E731
+    import signal
+
+    killed = 0
+    for pid in stale_tpu_pids():
+        try:
+            os.kill(pid, signal.SIGKILL)
+            log(f"tpu transport: killed stale relay-connected pid {pid}")
+            killed += 1
+        except OSError:
+            pass
+    return killed
+
+
 def tpu_transport_ready() -> bool:
     """Non-blocking: True if this process can expect jax.devices() to work."""
     if not _is_axon():
@@ -72,13 +132,24 @@ def tpu_transport_ready() -> bool:
     return _relay_port_open()
 
 
-def wait_for_tpu(max_wait_s: float = 900.0, *, log=None) -> bool:
+def wait_for_tpu(
+    max_wait_s: float = 900.0, *, log=None, sweep_after_failures: int = 0
+) -> bool:
     """Block until the remote TPU transport answers a probe (or give up).
 
     Returns True when a probe matmul succeeded (or the backend is local).
     While the relay port is closed this polls cheaply every 30 s; once the
-    port is open it runs at most one probe per ``_QUIET_AFTER_FAILED_PROBE_S``
-    window so a wedged lease is not kept wedged by the probes themselves.
+    port is open it runs at most one probe per quiet window so a wedged lease
+    is not kept wedged by the probes themselves. Quiet windows ESCALATE
+    (6 -> 9 -> 12 -> 15 min, capped) — the 2026-08-19 outage needed more than
+    three 6-min windows, so fixed-width windows can give up just before the
+    lease recovers. If the deadline lands mid-window, one last probe runs
+    before surrendering.
+
+    ``sweep_after_failures``: if > 0, after that many consecutive failed
+    probes kill OTHER processes holding relay connections (stale lease
+    holders from a crashed run). Leave 0 whenever a legitimate background
+    TPU job (a mint) may be running.
     """
     if log is None:
         log = lambda m: print(m, file=sys.stderr)  # noqa: E731
@@ -86,26 +157,44 @@ def wait_for_tpu(max_wait_s: float = 900.0, *, log=None) -> bool:
         return True
     deadline = time.monotonic() + max_wait_s
     first = True
+    failures = 0
+
+    def _ok() -> bool:
+        # The probe's process exit must settle before the caller claims the
+        # chip, or the claim itself wedges the lease.
+        log(
+            f"tpu transport: probe ok; settling {_SETTLE_AFTER_PROBE_S}s "
+            "before claiming the chip"
+        )
+        time.sleep(_SETTLE_AFTER_PROBE_S)
+        return True
+
     while True:
         if _relay_port_open():
             if first:
                 log("tpu transport: relay up, probing")
             if _probe_once():
-                # The probe's process exit must settle before the caller
-                # claims the chip, or the claim itself wedges the lease.
-                log(
-                    f"tpu transport: probe ok; settling {_SETTLE_AFTER_PROBE_S}s "
-                    "before claiming the chip"
-                )
-                time.sleep(_SETTLE_AFTER_PROBE_S)
-                return True
-            log(
-                "tpu transport: probe failed; quiet cool-down "
-                f"{_QUIET_AFTER_FAILED_PROBE_S}s"
+                return _ok()
+            failures += 1
+            if sweep_after_failures and failures == sweep_after_failures:
+                n = sweep_stale_tpu(log=log)
+                log(f"tpu transport: swept {n} stale relay connection(s)")
+            quiet = min(
+                _QUIET_AFTER_FAILED_PROBE_S * (1 + 0.5 * (failures - 1)),
+                _QUIET_MAX_S,
             )
-            if time.monotonic() + _QUIET_AFTER_FAILED_PROBE_S > deadline:
-                return False
-            time.sleep(_QUIET_AFTER_FAILED_PROBE_S)
+            log(f"tpu transport: probe {failures} failed; quiet cool-down {quiet:.0f}s")
+            if time.monotonic() + quiet > deadline:
+                # Last chance: one final probe after whatever quiet time
+                # remains (minimum half a window — a too-short quiet period
+                # is known to keep the lease wedged).
+                remaining = deadline - time.monotonic()
+                if remaining < _QUIET_AFTER_FAILED_PROBE_S / 2:
+                    return False
+                time.sleep(remaining)
+                log("tpu transport: final probe before surrendering")
+                return _probe_once() and _ok()
+            time.sleep(quiet)
         else:
             if first:
                 log("tpu transport: relay port closed, waiting")

@@ -36,3 +36,60 @@ def test_wait_probes_when_port_open(monkeypatch):
     monkeypatch.setattr(transport, "_probe_once", lambda: calls.append(1) or True)
     assert transport.wait_for_tpu(60.0)
     assert calls == [1]
+
+
+def test_wait_escalates_quiet_windows_and_final_probe(monkeypatch):
+    """Failed probes escalate the quiet window (6 -> 9 -> 12 min, capped)
+    and a deadline landing mid-window still gets one last probe."""
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setattr(transport, "_relay_port_open", lambda *a, **k: True)
+    monkeypatch.setattr(transport, "_SETTLE_AFTER_PROBE_S", 0)
+
+    clock = [0.0]
+    monkeypatch.setattr(transport.time, "monotonic", lambda: clock[0])
+    sleeps = []
+    monkeypatch.setattr(
+        transport.time, "sleep", lambda s: (sleeps.append(s), clock.__setitem__(0, clock[0] + s))
+    )
+    probes = []
+    # fail 3 probes, then succeed on the 4th (the final pre-surrender probe)
+    monkeypatch.setattr(
+        transport, "_probe_once", lambda: probes.append(1) or len(probes) >= 4
+    )
+    assert transport.wait_for_tpu(1500.0, log=lambda m: None)
+    assert len(probes) == 4
+    # escalation: 360, 540, then the final-window remainder (1500-900=600)
+    assert sleeps[0] == 360 and sleeps[1] == 540
+    assert sleeps[2] == 600  # remainder >= half a window -> last-chance probe
+
+
+def test_wait_sweeps_stale_after_n_failures(monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setattr(transport, "_relay_port_open", lambda *a, **k: True)
+    monkeypatch.setattr(transport, "_SETTLE_AFTER_PROBE_S", 0)
+    monkeypatch.setattr(transport.time, "sleep", lambda s: None)
+    swept = []
+    monkeypatch.setattr(transport, "sweep_stale_tpu", lambda log=None: swept.append(1) or 0)
+    probes = []
+    monkeypatch.setattr(
+        transport, "_probe_once", lambda: probes.append(1) or len(probes) >= 3
+    )
+    assert transport.wait_for_tpu(10_000.0, sweep_after_failures=2, log=lambda m: None)
+    assert swept == [1]  # exactly once, after the 2nd failed probe
+
+
+def test_stale_pids_excludes_self(monkeypatch):
+    import os
+
+    fake = (
+        "ESTAB 0 0 127.0.0.1:51000 127.0.0.1:8082 "
+        f'users:(("python",pid={os.getpid()},fd=5))\n'
+        'ESTAB 0 0 127.0.0.1:51002 127.0.0.1:8082 users:(("python",pid=999999,fd=5))\n'
+        'ESTAB 0 0 127.0.0.1:51004 127.0.0.1:9999 users:(("python",pid=888888,fd=5))\n'
+    )
+
+    class R:
+        stdout = fake
+
+    monkeypatch.setattr(transport.subprocess, "run", lambda *a, **k: R())
+    assert transport.stale_tpu_pids() == [999999]
