@@ -142,7 +142,11 @@ def main():
         save_dir=os.path.join(args.out, "golden_eval"),
         style_override=(mean, std),
     )
-    summary = {k: metrics[k] for k in ("mean_psnr", "mean_mae", "r2")}
+    # The held-out half (batches whose digits the mixed bank never trains on)
+    # is the OFFICIAL gate number; the full-suite mean is reported beside it.
+    keys = ("mean_psnr", "mean_mae", "r2",
+            "heldout_mean_psnr", "heldout_mean_mae", "heldout_r2")
+    summary = {k: metrics[k] for k in keys if k in metrics}
     print("GOLDEN_EVAL " + json.dumps(summary), flush=True)
 
     refined = evaluate_golden_suite(
@@ -154,12 +158,15 @@ def main():
     )
     print(
         "GOLDEN_EVAL_REFINED "
-        + json.dumps({k: refined[k] for k in ("mean_psnr", "mean_mae", "r2")}),
+        + json.dumps({k: refined[k] for k in keys if k in refined}),
         flush=True,
     )
     metrics["refined_mean_psnr"] = refined["mean_psnr"]
     metrics["refined_mean_mae"] = refined["mean_mae"]
     metrics["refined_steps"] = 100
+    if "heldout_mean_psnr" in refined:
+        metrics["refined_heldout_mean_psnr"] = refined["heldout_mean_psnr"]
+        metrics["refined_heldout_r2"] = refined["heldout_r2"]
 
     if state.ema_params is not None:
         # Score the Polyak-averaged weights with their own style vector (the
