@@ -308,6 +308,40 @@ def cmd_train(args):
             data=DataConfig(batch_size=args.batch_size, seed=args.seed),
             train=train_cfg,
         )
+    sampler = None
+    if args.mat_root:
+        from style_transfer_based_holographic_imaging_tpu.data.mat_sampler import (
+            MeasuredHologramSampler,
+        )
+
+        if cfg.train.supervised_weight:
+            # Measured trees carry only (intensity, distance) — no complex
+            # GT exists to supervise on (reference utils/Data_loader.py:
+            # 161-169 train items). Force the no-GT loss set rather than
+            # silently training with an inert term.
+            print(
+                "note: --mat-root training has no ground truth; forcing "
+                "supervised_weight=0 (physics cycle + style + content + "
+                "distance)",
+                file=sys.stderr,
+            )
+            cfg = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, supervised_weight=0.0)
+            )
+        layout = {
+            "rbc": "red_blood_cell",
+            "polystyrene_bead": "polystyrene",
+            "mnist": "generic",
+        }.get(args.domain, args.domain)
+        sampler = MeasuredHologramSampler(
+            args.mat_root, cfg.data, cfg.physics, domain=layout
+        )
+        print(
+            f"measured train tree: {len(sampler.ds)} frames "
+            f"({len(sampler._content_idx)} content / "
+            f"{len(sampler._style_idx)} style candidates)",
+            file=sys.stderr,
+        )
     bank = None
     if args.digit_bank:
         import numpy as np
@@ -316,7 +350,7 @@ def cmd_train(args):
             print(f"--digit-bank {args.digit_bank}: file not found", file=sys.stderr)
             return 1
         bank = np.load(args.digit_bank)["bank"]
-    elif args.bank != "sklearn":
+    elif args.bank != "sklearn" and sampler is None:
         from style_transfer_based_holographic_imaging_tpu.data.synth import (
             GOLDEN_TRAIN_DIGITS,
             bead_bank,
@@ -414,7 +448,14 @@ def cmd_train(args):
         else:
             mesh = make_mesh(args.devices)
 
-    state = train(cfg, bank=bank, state=state, mesh=mesh, partition=args.partition)
+    state = train(
+        cfg,
+        bank=bank,
+        sampler=sampler,
+        state=state,
+        mesh=mesh,
+        partition=args.partition,
+    )
     from style_transfer_based_holographic_imaging_tpu.train import save_checkpoint
 
     path = save_checkpoint(state, cfg.train.checkpoint_dir)
@@ -440,8 +481,42 @@ def cmd_extract_style(args):
 
     params = _load_params(args)
     cfg = DOMAIN_PRESETS[args.domain]() if args.domain else ExperimentConfig()
-    bank = {"bead": bead_bank, "rbc": rbc_bank}.get(args.bank, sklearn_digit_bank)()
-    mean, std = extract_style_vector(params, cfg, bank, n_batches=args.n_batches)
+    if args.mat_root:
+        # Average the encoder statistics over MEASURED style-plane patches —
+        # the reference's own recipe for its precomputed per-domain
+        # style_vector.pt (SURVEY.md §2c).
+        import numpy as np
+
+        from style_transfer_based_holographic_imaging_tpu.data.mat_sampler import (
+            MeasuredHologramSampler,
+        )
+        from style_transfer_based_holographic_imaging_tpu.models import (
+            StyleTransferNet,
+        )
+        from style_transfer_based_holographic_imaging_tpu.pipelines.style_vector import (
+            style_vector_from_holograms,
+        )
+
+        layout = {
+            "rbc": "red_blood_cell",
+            "polystyrene_bead": "polystyrene",
+            "mnist": "generic",
+        }.get(args.domain, args.domain)
+        sampler = MeasuredHologramSampler(
+            args.mat_root, cfg.data, cfg.physics, domain=layout
+        )
+        net = StyleTransferNet(width=cfg.model.width)
+        ms, ss = zip(
+            *(
+                style_vector_from_holograms(params, patches, net=net)
+                for patches in sampler.style_batches(args.n_batches)
+            )
+        )
+        mean = np.mean(np.concatenate(ms), axis=0, keepdims=True)
+        std = np.mean(np.concatenate(ss), axis=0, keepdims=True)
+    else:
+        bank = {"bead": bead_bank, "rbc": rbc_bank}.get(args.bank, sklearn_digit_bank)()
+        mean, std = extract_style_vector(params, cfg, bank, n_batches=args.n_batches)
     save_style_vector(mean, std, args.out)
     if args.pt_out:
         from style_transfer_based_holographic_imaging_tpu.interop import (
@@ -1095,6 +1170,14 @@ def main(argv=None):
         ("mnist", "polystyrene", "polystyrene_bead", "tissue",
          "red_blood_cell", "rbc"))),
                    help="experimental-domain preset (physics + distances)")
+    p.add_argument("--mat-root", type=str, default=None,
+                   help="train from a measured .mat hologram tree "
+                        "(root/train/holography/<distance>/*.mat — the "
+                        "reference's Holo_loader training path) instead of "
+                        "synthesized holograms; combines with --domain for "
+                        "the tree layout + physics. Measured data has no "
+                        "complex GT, so the supervised loss is forced off "
+                        "(the reference's no-GT regime)")
     p.add_argument("--devices", type=int, default=0,
                    help="train over the first N devices (batch sharded "
                         "along the data mesh axis)")
@@ -1118,6 +1201,10 @@ def main(argv=None):
     p.add_argument("--bank", default="sklearn", choices=("sklearn", "bead", "rbc"))
     p.add_argument("--domain", default=None,
                    choices=("mnist", "polystyrene", "red_blood_cell"))
+    p.add_argument("--mat-root", type=str, default=None,
+                   help="average encoder stats over MEASURED style-plane "
+                        "patches from this .mat train tree instead of "
+                        "synthesized holograms (overrides --bank)")
     p.set_defaults(fn=cmd_extract_style)
 
     p = sub.add_parser("synth-bench", help="hologram-synthesis throughput")

@@ -19,10 +19,13 @@ insert the collectives):
   N-fold — the lever for model families (``ModelConfig.width`` > 1) whose
   optimizer state would not fit one chip's HBM.
 
-Sharding rule: each array leaf is split along the FIRST dimension divisible
-by the axis size (for HWIO conv kernels that is the input-channel dim, NOT
-the output-channel dim that channel-TP uses — so ZeRO over ``data`` composes
-with `parallel.tp` over ``model`` on a 2-D mesh without fighting for a dim).
+Sharding rule (`zero_leaf_spec`): conv kernels and biases split along the
+FIRST dimension divisible by the axis size (for HWIO conv kernels that is
+the input-channel dim, NOT the output-channel dim that channel-TP uses — so
+ZeRO over ``data`` composes with `parallel.tp` over ``model`` on a 2-D mesh
+without fighting for a dim); dense (I, O) kernels split along the OUTPUT
+dim, matching GSPMD's output-stationary dot partitioning (an input-dim
+shard triggers replicate-then-repartition reshards every step).
 Indivisible leaves (scalars, the 1-channel stem, small biases on large
 meshes) replicate; GSPMD handles the mixed tree.
 
@@ -51,10 +54,24 @@ __all__ = [
 
 
 def zero_leaf_spec(leaf: Any, axis_size: int, axis: str) -> P:
-    """PartitionSpec sharding the first dim divisible by ``axis_size``."""
+    """PartitionSpec sharding one dim divisible by ``axis_size``.
+
+    Dense (I, O) kernels shard the OUTPUT dim: GSPMD partitions their dots
+    output-stationary, so an input-dim shard forces an inefficient
+    replicate-then-repartition reshard each step ("[SPMD] Involuntary full
+    rematerialization" — measured on the distance-MLP kernels, whose
+    row-instance-norm couples the batch dim; output-dim sharding compiles
+    warning-free at identical loss). Everything else (conv HWIO kernels,
+    biases) shards the FIRST divisible dim — for HWIO that is the
+    input-channel dim, NOT the output-channel dim channel-TP uses, so ZeRO
+    over ``data`` composes with `parallel.tp` over ``model`` on a 2-D mesh
+    without fighting for a dim (dense kernels there concede to TP via
+    ``merge_state_shardings`` precedence).
+    """
     shape = getattr(leaf, "shape", ())
-    for i, dim in enumerate(shape):
-        if dim % axis_size == 0 and dim >= axis_size:
+    dims = (1, 0) if len(shape) == 2 else range(len(shape))
+    for i in dims:
+        if shape[i] % axis_size == 0 and shape[i] >= axis_size:
             spec = [None] * len(shape)
             spec[i] = axis
             return P(*spec)

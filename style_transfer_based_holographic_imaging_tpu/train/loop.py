@@ -312,6 +312,7 @@ def train(
     config: ExperimentConfig,
     *,
     bank: Optional[np.ndarray] = None,
+    sampler=None,
     state: Optional[TrainState] = None,
     iterations: Optional[int] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
@@ -327,6 +328,14 @@ def train(
     Covers the reference's reconstructed training pipeline end to end:
     infinite synthesized-hologram stream, iteration-based loop, periodic
     orbax checkpoints (``checkpoints/iter_<n>``).
+
+    ``sampler`` substitutes any endless batch iterator for the synthetic
+    stream — e.g. ``data.mat_sampler.MeasuredHologramSampler`` over a
+    measured .mat train tree (the reference's Holo_loader training path,
+    utils/Data_loader.py:72-139). Its ``iteration`` counter (when present)
+    is aligned to the resumed step for a deterministic data sequence.
+    Measured batches carry no GT keys, so the supervised term is inert —
+    pass ``supervised_weight=0`` for an honestly-labelled loss.
 
     With a ``mesh``, ``partition`` picks the train-state layout
     (``parallel.PARTITION_PLANS``): ``dp`` replicates it (plain batch data
@@ -349,7 +358,7 @@ def train(
     net = StyleTransferNet(
         width=config.model.width, dtype=_compute_dtype(config.model.dtype)
     )
-    if bank is None:
+    if bank is None and sampler is None:
         bank = sklearn_digit_bank()
     if state is None:
         params = init_net_params(
@@ -394,13 +403,16 @@ def train(
             else None
         )
 
-    sampler = InfiniteHologramSampler(
-        bank,
-        config.data,
-        physics,
-        return_gt=bool(cfg.supervised_weight),
-        start_iteration=int(state.step),
-    )
+    if sampler is None:
+        sampler = InfiniteHologramSampler(
+            bank,
+            config.data,
+            physics,
+            return_gt=bool(cfg.supervised_weight),
+            start_iteration=int(state.step),
+        )
+    elif hasattr(sampler, "iteration"):
+        sampler.iteration = int(state.step)
     if partition != "dp" and mesh is None:
         raise ValueError(f"partition {partition!r} requires a mesh")
     state_shardings = None

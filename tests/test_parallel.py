@@ -6,6 +6,8 @@ axis, replicated params, XLA-inserted gradient psum) produce the same
 numbers as the single-device run.
 """
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -359,6 +361,37 @@ def test_train_step_zero_sharded_matches_single_device():
             )
         )
         assert diff < 2e-5, diff
+
+
+def test_fsdp_compile_free_of_spmd_reshard_warnings(capfd):
+    """The FSDP train step (remat + grad-accum, the dryrun config) must
+    compile without GSPMD "Involuntary full rematerialization" reshard
+    warnings — round 1 emitted 12 on the distance-MLP dense kernels when
+    zero_leaf_spec sharded their INPUT dim (fixed: dense kernels shard the
+    output dim, matching the partitioner's output-stationary dots)."""
+    from style_transfer_based_holographic_imaging_tpu.parallel import (
+        zero_state_shardings,
+    )
+
+    data = dataclasses.replace(DATA8, image_size=32, digit_pad=8)
+    cfg = TrainConfig(checkpoint_every=0, adv_weight=0.0, grad_accum=2, remat=True)
+    bank = sklearn_digit_bank(16)[:16]
+    batch = jax.device_get(
+        synth_batch(jax.random.key(1), bank, data=data, physics=PHYSICS, return_gt=True)
+    )
+    mesh = make_mesh(8)
+    state = create_train_state(init_net_params(jax.random.key(0), image_size=32), cfg)
+    fn = make_train_step(
+        StyleTransferNet(),
+        PHYSICS,
+        cfg,
+        mesh=mesh,
+        state_shardings=zero_state_shardings(state, mesh, shard_params=True),
+    )
+    capfd.readouterr()  # drop anything buffered before the compile
+    fn.lower(state, shard_batch(batch, mesh), jax.random.key(2)).compile()
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err[-2000:]
 
 
 def test_train_step_tp_x_zero_composed():
