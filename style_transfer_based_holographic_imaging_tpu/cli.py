@@ -252,8 +252,20 @@ def cmd_eval(args):
     print(f"Mean PSNR: {metrics['mean_psnr']:.4f}")
     print(f"Mean MAE: {metrics['mean_mae']:.6f}")
     print(f"R2 score: {metrics['r2']:.6f}")
+    if "heldout_mean_psnr" in metrics:
+        print(
+            f"Held-out (uncontaminated) PSNR: {metrics['heldout_mean_psnr']:.4f} "
+            f"R2: {metrics['heldout_r2']:.6f}"
+        )
+    if metrics.get("distance_outlier_batches"):
+        print(
+            f"WARNING: distance outlier batches {metrics['distance_outlier_batches']}"
+            f" (max |err| {metrics['distance_max_abs_err_um']:.1f} um)"
+        )
     if args.json:
-        print(json.dumps({k: metrics[k] for k in ("mean_psnr", "mean_mae", "r2")}))
+        keys = ("mean_psnr", "mean_mae", "r2",
+                "heldout_mean_psnr", "heldout_r2", "distance_outlier_batches")
+        print(json.dumps({k: metrics[k] for k in keys if k in metrics}))
     return metrics
 
 

@@ -395,6 +395,17 @@ def evaluate_golden_suite(
     ]
     pairs = np.asarray(distance_pairs, np.float64)
     um = metrics_mod.distances_to_um(pairs, physics)
+    bs0 = goldens.content_holo[0].shape[0]
+    abs_err = np.abs(um[:, 1] - um[:, 0]).reshape(-1, bs0)
+    # Distance-outlier flag: batches whose worst sample misses by > 25 µm
+    # (~5x the suite's typical 5 µm error). Round 1's post-mortem: batch 11
+    # (held-out digit 55-59) predicted 482/572/648/701 µm for 500-800 — its
+    # hologram feature statistics at mid distances sit nearest to NEARER-
+    # distance training digits (the global channel-stat head confounds
+    # unseen glyph shape with the diffraction-scale distance cue), so the
+    # suite mean hid a shape-generalization failure. Surfacing the batches
+    # keeps that visible in every eval summary.
+    outliers = [int(b) for b in np.nonzero(abs_err.max(axis=1) > 25.0)[0]]
     metrics = {
         "mean_psnr": float(np.mean(psnr_list)),
         "mean_mae": float(np.mean(mae_list)),
@@ -403,6 +414,8 @@ def evaluate_golden_suite(
         "mae_per_batch": mae_list,
         "distance_true_um": um[:, 0].tolist(),
         "distance_pred_um": um[:, 1].tolist(),
+        "distance_outlier_batches": outliers,
+        "distance_max_abs_err_um": float(abs_err.max()),
     }
 
     # Held-out metrics: batches whose digits the default mixed training bank
@@ -414,8 +427,7 @@ def evaluate_golden_suite(
 
     held = [b for b in GOLDEN_HELDOUT_BATCHES if b < goldens.n_batches]
     if held:
-        bs = goldens.content_holo[0].shape[0]
-        held_samples = [s for b in held for s in range(b * bs, (b + 1) * bs)]
+        held_samples = [s for b in held for s in range(b * bs0, (b + 1) * bs0)]
         metrics["heldout_mean_psnr"] = float(
             np.mean([psnr_list[b] for b in held])
         )

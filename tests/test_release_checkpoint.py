@@ -54,9 +54,20 @@ class TestReleaseCheckpoint:
         )
 
     def test_meets_recorded_bar(self, metrics):
-        """Metrics must not regress below 95% of the promoted values."""
+        """Metrics must not regress below 95% of the promoted values.
+
+        The HELD-OUT half is the official gate (training's mixed bank
+        oversamples the other half's digits, so the full-suite mean is
+        partially train-contaminated — docs/QUALITY.md); the full mean is
+        still checked as a secondary regression tripwire.
+        """
         with open(METRICS) as f:
             recorded = json.load(f)
+        if "heldout_mean_psnr" in recorded:
+            assert metrics["heldout_mean_psnr"] >= 0.95 * recorded["heldout_mean_psnr"]
+            assert metrics["heldout_r2"] >= min(
+                0.95 * recorded["heldout_r2"], recorded["heldout_r2"]
+            )
         assert metrics["mean_psnr"] >= 0.95 * recorded["mean_psnr"]
         assert metrics["r2"] >= min(0.95 * recorded["r2"], recorded["r2"])
 
