@@ -50,6 +50,9 @@ def main():
                          "training (fp32 params/losses, ~MXU 2x)")
     ap.add_argument("--width", type=float, default=1.0,
                     help="fast-profile channel multiplier (1.0 = reference-exact)")
+    ap.add_argument("--phase-decoder", action="store_true",
+                    help="train the dedicated decoder_ph phase head (the "
+                         "reference's decoder_ph artifact surface)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -83,7 +86,11 @@ def main():
     from style_transfer_based_holographic_imaging_tpu.train import train, save_checkpoint
 
     cfg = ExperimentConfig(
-        model=ModelConfig(width=args.width, dtype=args.dtype),
+        model=ModelConfig(
+            width=args.width,
+            dtype=args.dtype,
+            with_phase_decoder=args.phase_decoder,
+        ),
         data=DataConfig(batch_size=args.batch_size, seed=args.seed),
         train=TrainConfig(
             iterations=args.iterations,

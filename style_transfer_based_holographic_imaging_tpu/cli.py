@@ -130,6 +130,9 @@ def _load_params(args):
                     sub,
                     width=cfg.model.width if cfg else 1.0,
                     image_size=args.image_size,
+                    with_phase_decoder=bool(
+                        cfg and cfg.model.with_phase_decoder
+                    ),
                 )
                 print(f"loaded checkpoint {sub} (host-target restore)",
                       file=sys.stderr)
@@ -282,7 +285,9 @@ def cmd_train(args):
     )
     from style_transfer_based_holographic_imaging_tpu.train import train
 
-    model_cfg = ModelConfig(dtype=args.dtype)
+    model_cfg = ModelConfig(
+        dtype=args.dtype, with_phase_decoder=args.phase_decoder
+    )
 
     train_cfg = TrainConfig(
         iterations=args.iterations,
@@ -407,7 +412,10 @@ def cmd_train(args):
 
         snap = latest_snapshot(args.checkpoint_dir)
         if snap:
-            params = init_net_params(jax.random.key(args.seed))
+            params = init_net_params(
+                jax.random.key(args.seed),
+                with_phase_decoder=cfg.model.with_phase_decoder,
+            )
             # Mirror train()'s fresh-start construction exactly — including
             # the discriminator when the adversarial loss is on — so a
             # resumed run optimizes the same objective.
@@ -1159,6 +1167,11 @@ def main(argv=None):
     p.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32",
                    help="conv compute dtype; bfloat16 = mixed-precision "
                         "training (fp32 params/losses, measured 1.4x it/s)")
+    p.add_argument("--phase-decoder", action="store_true",
+                   help="train a dedicated decoder_ph head for the phase "
+                        "plane (the reference's decoder_ph_iter_80000 "
+                        "artifact); eval/serving auto-detect it from the "
+                        "checkpoint")
     p.add_argument("--resume", action="store_true",
                    help="resume from the newest iter_* snapshot in --checkpoint-dir")
     p.add_argument("--supervised-weight", type=float, default=10.0)

@@ -58,6 +58,12 @@ class ModelConfig:
     width: float = 1.0                  # channel multiplier; 1.0 = reference-
                                         # exact VGG/decoder ("fast profile"
                                         # knob: 0.5 quarters the conv FLOPs)
+    with_phase_decoder: bool = False    # dedicated decoder_ph head for the
+                                        # phase plane (the reference ships
+                                        # decoder_ph_iter_80000.pth.tar and
+                                        # loads it, test_field_retrieval_
+                                        # mnist.py:70-77, though its call is
+                                        # commented at net.py:252)
     n_enc_layers: int = 4               # encoder taps relu1_1..relu4_1
     style_channels: int = 512           # channels at the deepest tap
     decoder_out_channels: int = 2       # [amplitude, phase]

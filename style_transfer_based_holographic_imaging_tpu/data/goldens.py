@@ -61,6 +61,25 @@ class GoldenSuite:
         x = getattr(self, name)
         return x.reshape((-1,) + x.shape[2:])
 
+    def subset(self, n_batches: int) -> "GoldenSuite":
+        """The first ``n_batches`` batches (fast smoke evals); the style
+        vector is suite-global and carries over unchanged."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self,
+            **{
+                f: getattr(self, f)[:n_batches]
+                for f in (
+                    "content_holo",
+                    "distance_style",
+                    "distance_content",
+                    "gt_amplitude",
+                    "gt_phase",
+                )
+            },
+        )
+
 
 def _convert_from_reference(reference_dir: str) -> dict:
     from style_transfer_based_holographic_imaging_tpu.interop.torch_weights import (

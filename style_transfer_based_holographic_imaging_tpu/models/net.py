@@ -37,7 +37,25 @@ from style_transfer_based_holographic_imaging_tpu.ops.stats import (
     calc_mean_std,
 )
 
-__all__ = ["StyleTransferNet", "split_style_vector", "init_net_params"]
+__all__ = [
+    "StyleTransferNet",
+    "split_style_vector",
+    "init_net_params",
+    "has_phase_decoder",
+]
+
+
+def has_phase_decoder(params) -> bool:
+    """True iff the checkpoint carries a trained ``decoder_ph`` subtree —
+    the runtime switch for constructing the net with
+    ``with_phase_decoder=True`` so eval/serving match how the params were
+    trained (the reference decides the same thing by which .pth.tar files
+    it loads, test_field_retrieval_mnist.py:70-77)."""
+    inner = params.get("params", params) if hasattr(params, "get") else params
+    try:
+        return "decoder_ph" in inner
+    except TypeError:
+        return False
 
 
 def init_net_params(key, image_size: int = 128, **net_kwargs):

@@ -71,12 +71,24 @@ def retrieval_step(
     stack to the int8 serving path; the physics stays fp32 either way.
     """
     if net is None:
-        net = StyleTransferNet()
+        # Construct to match the checkpoint: a params tree carrying a trained
+        # decoder_ph gets the dedicated-phase-head forward automatically.
+        from style_transfer_based_holographic_imaging_tpu.models.net import (
+            has_phase_decoder,
+        )
+
+        net = StyleTransferNet(with_phase_decoder=has_phase_decoder(params))
 
     content = jnp.sqrt(jnp.asarray(content_holo, jnp.float32))
     content_nhwc = jnp.transpose(content, (0, 2, 3, 1))
 
     if quant_scales is not None:
+        if net.with_phase_decoder:
+            raise NotImplementedError(
+                "the int8 serving path does not cover decoder_ph checkpoints "
+                "(quant_retrieval_forward decodes phase from the main "
+                "decoder) — serve them with quant_scales=None"
+            )
         from style_transfer_based_holographic_imaging_tpu.models.quant import (
             quant_retrieval_forward,
         )
@@ -163,6 +175,7 @@ def make_retrieval_fn(
     donate: bool = False,
     dtype=None,
     width: float = 1.0,
+    with_phase_decoder: bool = False,
     quant_scales: Optional[Dict[str, float]] = None,
     asm_backend: Optional[str] = None,
 ):
@@ -177,10 +190,14 @@ def make_retrieval_fn(
     registers a custom_partitioning that shards its batch dim with the
     operands — kernels/asm_pallas.py).
     """
-    if dtype is not None or width != 1.0:
-        net = StyleTransferNet(dtype=dtype or jnp.float32, width=width)
+    if dtype is not None or width != 1.0 or with_phase_decoder:
+        net = StyleTransferNet(
+            dtype=dtype or jnp.float32,
+            width=width,
+            with_phase_decoder=with_phase_decoder,
+        )
     else:
-        net = None
+        net = None  # retrieval_step auto-detects decoder_ph from the params
     step = functools.partial(
         retrieval_step,
         physics=physics,
@@ -302,11 +319,16 @@ def evaluate_golden_suite(
     # export artifact (pipelines.export_artifact), so a release file can be
     # re-validated on the golden suite without the model code it was built
     # from.
+    from style_transfer_based_holographic_imaging_tpu.models.net import (
+        has_phase_decoder,
+    )
+
     fn = retrieval_fn or make_retrieval_fn(
         physics,
         alpha=config.eval.alpha,
         dtype=dtype,
         width=config.model.width,
+        with_phase_decoder=has_phase_decoder(params),
         quant_scales=quant_scales,
     )
 

@@ -356,13 +356,17 @@ def train(
     cfg = config.train
     physics = config.physics
     net = StyleTransferNet(
-        width=config.model.width, dtype=_compute_dtype(config.model.dtype)
+        width=config.model.width,
+        dtype=_compute_dtype(config.model.dtype),
+        with_phase_decoder=config.model.with_phase_decoder,
     )
     if bank is None and sampler is None:
         bank = sklearn_digit_bank()
     if state is None:
         params = init_net_params(
-            jax.random.key(config.data.seed), width=config.model.width
+            jax.random.key(config.data.seed),
+            width=config.model.width,
+            with_phase_decoder=config.model.with_phase_decoder,
         )
         disc_params = None
         disc = None

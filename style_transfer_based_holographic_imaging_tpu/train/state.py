@@ -287,7 +287,13 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
     return state
 
 
-def load_release_params(path: str, *, width: float = 1.0, image_size: int = 128):
+def load_release_params(
+    path: str,
+    *,
+    width: float = 1.0,
+    image_size: int = 128,
+    with_phase_decoder: bool = False,
+):
     """Restore a params-only release checkpoint portably.
 
     Target-less restore works when the checkpoint was saved host-side, but a
@@ -307,7 +313,12 @@ def load_release_params(path: str, *, width: float = 1.0, image_size: int = 128)
     except ValueError:
         target = {
             "params": jax.device_get(
-                init_net_params(jax.random.key(0), image_size=image_size, width=width)
+                init_net_params(
+                    jax.random.key(0),
+                    image_size=image_size,
+                    width=width,
+                    with_phase_decoder=with_phase_decoder,
+                )
             )
         }
         params = ckptr.restore(path, target)["params"]
