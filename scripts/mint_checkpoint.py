@@ -53,6 +53,12 @@ def main():
     ap.add_argument("--phase-decoder", action="store_true",
                     help="train the dedicated decoder_ph phase head (the "
                          "reference's decoder_ph artifact surface)")
+    ap.add_argument("--rotate-deg", type=float, default=0.0,
+                    help="shape-diversity augmentation: per-sample rotation "
+                         "(+/- deg) of the phase objects")
+    ap.add_argument("--elastic-px", type=float, default=0.0,
+                    help="shape-diversity augmentation: elastic-warp "
+                         "displacement amplitude in pixels")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -91,7 +97,12 @@ def main():
             dtype=args.dtype,
             with_phase_decoder=args.phase_decoder,
         ),
-        data=DataConfig(batch_size=args.batch_size, seed=args.seed),
+        data=DataConfig(
+            batch_size=args.batch_size,
+            seed=args.seed,
+            rotate_deg=args.rotate_deg,
+            elastic_px=args.elastic_px,
+        ),
         train=TrainConfig(
             iterations=args.iterations,
             lr=args.lr,

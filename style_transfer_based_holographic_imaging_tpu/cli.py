@@ -315,14 +315,23 @@ def cmd_train(args):
             physics=preset.physics,
             model=model_cfg,
             data=dataclasses.replace(
-                preset.data, batch_size=args.batch_size, seed=args.seed
+                preset.data,
+                batch_size=args.batch_size,
+                seed=args.seed,
+                rotate_deg=args.rotate_deg,
+                elastic_px=args.elastic_px,
             ),
             train=train_cfg,
         )
     else:
         cfg = ExperimentConfig(
             model=model_cfg,
-            data=DataConfig(batch_size=args.batch_size, seed=args.seed),
+            data=DataConfig(
+                batch_size=args.batch_size,
+                seed=args.seed,
+                rotate_deg=args.rotate_deg,
+                elastic_px=args.elastic_px,
+            ),
             train=train_cfg,
         )
     sampler = None
@@ -1172,6 +1181,12 @@ def main(argv=None):
                         "plane (the reference's decoder_ph_iter_80000 "
                         "artifact); eval/serving auto-detect it from the "
                         "checkpoint")
+    p.add_argument("--rotate-deg", type=float, default=0.0,
+                   help="shape-diversity augmentation: per-sample rotation "
+                        "(+/- deg) of synthesized phase objects")
+    p.add_argument("--elastic-px", type=float, default=0.0,
+                   help="shape-diversity augmentation: elastic-warp "
+                        "amplitude in pixels")
     p.add_argument("--resume", action="store_true",
                    help="resume from the newest iter_* snapshot in --checkpoint-dir")
     p.add_argument("--supervised-weight", type=float, default=10.0)

@@ -92,6 +92,15 @@ class DataConfig:
     # bank and real MNIST digits. (1.0, 1.0) ranges disable it.
     phase_scale_range: Sequence[float] = (0.7, 1.0)
     gamma_range: Sequence[float] = (0.6, 1.6)
+    # Shape-diversity augmentation (rotation + smooth elastic warp of the
+    # phase object). Round-1 post-mortem (docs/QUALITY.md): the distance
+    # head confounds unseen glyph SHAPE with the distance cue — warping
+    # multiplies the shape distribution of a small bank. 0/0.0 = off
+    # (reference parity: its transforms are flip/translate only,
+    # Data_loader.py:11-12).
+    rotate_deg: float = 0.0             # per-sample rotation, uniform +/- deg
+    elastic_px: float = 0.0             # elastic displacement amplitude (px)
+    elastic_cells: int = 8              # control-grid resolution of the warp
     seed: int = 0
 
 

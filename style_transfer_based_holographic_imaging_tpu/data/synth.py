@@ -87,6 +87,43 @@ def mixed_digit_bank(goldens, *, oversample: int = 36, size: int = 64) -> np.nda
     )
 
 
+def _shape_warp(
+    img: jax.Array,
+    key: jax.Array,
+    *,
+    rotate_deg: float,
+    elastic_px: float,
+    elastic_cells: int,
+) -> jax.Array:
+    """Per-sample rotation + smooth elastic warp of an (S, S) phase object.
+
+    One bilinear gather: the inverse-rotation sampling grid is displaced by
+    a low-resolution Gaussian flow field upsampled to full resolution —
+    dense shape diversity from a small glyph bank (docs/QUALITY.md). The
+    whole thing is in-graph (vmapped over the batch inside the jitted
+    synth), matching the zero-host-transform design of this data path.
+    """
+    s = img.shape[0]
+    k_rot, k_flow = jax.random.split(key)
+    grid = jnp.arange(s, dtype=jnp.float32)
+    yy, xx = jnp.meshgrid(grid, grid, indexing="ij")
+    c = (s - 1) / 2.0
+    theta = jax.random.uniform(
+        k_rot, (), minval=-rotate_deg, maxval=rotate_deg
+    ) * (jnp.pi / 180.0)
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    ys = (yy - c) * cos_t - (xx - c) * sin_t + c
+    xs = (yy - c) * sin_t + (xx - c) * cos_t + c
+    if elastic_px:
+        flow = jax.random.normal(k_flow, (2, elastic_cells, elastic_cells))
+        flow = jax.image.resize(flow, (2, s, s), method="cubic") * elastic_px
+        ys = ys + flow[0]
+        xs = xs + flow[1]
+    return jax.scipy.ndimage.map_coordinates(
+        img, [ys, xs], order=1, mode="constant", cval=0.0
+    )
+
+
 def _augment(img: jax.Array, flips: jax.Array, shifts: jax.Array) -> jax.Array:
     """Per-sample random flip + integer translate of a (H, W) image.
 
@@ -152,6 +189,16 @@ def synth_batch(
         flips = jnp.zeros_like(flips)
     phase_s = jax.vmap(_augment)(phase_s, flips[0], shifts[0])
     phase_c = jax.vmap(_augment)(phase_c, flips[1], shifts[1])
+    if data.rotate_deg or data.elastic_px:
+        warp = functools.partial(
+            _shape_warp,
+            rotate_deg=data.rotate_deg,
+            elastic_px=data.elastic_px,
+            elastic_cells=data.elastic_cells,
+        )
+        kw_s, kw_c = jax.random.split(jax.random.fold_in(key, 0x5A17))
+        phase_s = jax.vmap(warp)(phase_s, jax.random.split(kw_s, b))
+        phase_c = jax.vmap(warp)(phase_c, jax.random.split(kw_c, b))
 
     phase_s = phase_s[:, None]  # (B, 1, S, S)
     phase_c = phase_c[:, None]

@@ -62,6 +62,53 @@ def test_synth_batch_shapes_and_determinism(bank):
     assert all(np.isclose(v, choices).any() for v in dc), dc
 
 
+class TestShapeWarpAugmentation:
+    def test_off_by_default_exact_parity(self, bank):
+        """rotate_deg=elastic_px=0 must NOT change the synthesized batch at
+        all (reference parity: flip/translate are its only transforms)."""
+        key = jax.random.key(11)
+        b0 = synth_batch(key, jnp.asarray(bank), data=SMALL_DATA, physics=PHYSICS)
+        d_off = dataclasses.replace(SMALL_DATA, rotate_deg=0.0, elastic_px=0.0)
+        b1 = synth_batch(key, jnp.asarray(bank), data=d_off, physics=PHYSICS)
+        np.testing.assert_array_equal(
+            np.asarray(b0["content_holo"]), np.asarray(b1["content_holo"])
+        )
+
+    def test_warp_changes_holograms_deterministically(self, bank):
+        key = jax.random.key(11)
+        d_aug = dataclasses.replace(SMALL_DATA, rotate_deg=20.0, elastic_px=2.0)
+        b0 = synth_batch(key, jnp.asarray(bank), data=SMALL_DATA, physics=PHYSICS)
+        b1 = synth_batch(key, jnp.asarray(bank), data=d_aug, physics=PHYSICS)
+        b2 = synth_batch(key, jnp.asarray(bank), data=d_aug, physics=PHYSICS)
+        assert not np.allclose(
+            np.asarray(b0["content_holo"]), np.asarray(b1["content_holo"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(b1["content_holo"]), np.asarray(b2["content_holo"])
+        )
+
+    def test_warp_preserves_range_and_mass(self, bank):
+        """Bilinear warp of a [0, p] phase object stays in range and keeps
+        most of its ink (rotation + small elastic flow, zero fill)."""
+        key = jax.random.key(3)
+        d_aug = dataclasses.replace(
+            SMALL_DATA, rotate_deg=25.0, elastic_px=2.5, translate_frac=0.0
+        )
+        g = synth_batch(
+            key, jnp.asarray(bank), data=d_aug, physics=PHYSICS, return_gt=True
+        )
+        ph = np.asarray(g["phase_content"])
+        assert ph.min() >= 0.0
+        assert ph.max() <= 1.0 + 1e-5
+        g0 = synth_batch(
+            key, jnp.asarray(bank), data=dataclasses.replace(d_aug, rotate_deg=0.0, elastic_px=0.0),
+            physics=PHYSICS, return_gt=True,
+        )
+        mass0 = np.asarray(g0["phase_content"]).sum(axis=(1, 2, 3))
+        mass1 = ph.sum(axis=(1, 2, 3))
+        assert np.all(mass1 > 0.75 * mass0), (mass0, mass1)
+
+
 def test_infinite_sampler_reproducible(bank):
     s1 = InfiniteHologramSampler(bank, SMALL_DATA, PHYSICS)
     s2 = InfiniteHologramSampler(bank, SMALL_DATA, PHYSICS)
