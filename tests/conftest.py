@@ -25,6 +25,50 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# ---------------------------------------------------------------------------
+# Slow-test gate (VERDICT r1 weak #9): the default run deselects these via
+# pyproject's addopts = -m 'not slow' so the gate stays <10 min on this
+# 1-CPU host; `pytest tests/ -m ""` runs everything (mandatory before
+# promoting a release). Measured durations: PROGRESS / pytest_r2_full.log.
+# Central list (not per-site decorators) so the policy is one diff.
+_SLOW_FILES = {
+    # the release re-eval suite: every test re-runs golden evals (the class
+    # fixture alone is a full 20-batch eval)
+    "test_release_checkpoint.py",
+}
+_SLOW_TESTS = {
+    "test_dryrun_multichip_two_devices",        # 190s
+    "test_train_step_zero_sharded_matches_single_device",  # 98s
+    "test_train_step_tp_sharded_matches_single_device",    # 77s
+    "test_train_step_tp_x_zero_composed",       # 76s
+    "test_gan_path_runs",                       # 69s
+    "test_fsdp_compile_free_of_spmd_reshard_warnings",     # 65s
+    "test_train_loop_partition_fsdp",           # 53s
+    "test_jsonl_written",                       # 52s
+    "test_accumulated_step_matches_full_batch", # 50s
+    "test_train_step_dp_matches_single_device", # 47s + 33s
+    "test_bf16_losses_close_to_fp32",           # 46s
+    "test_loss_decreases_over_steps",           # 44s
+    "test_pipeline_retrieval_matches_single_device",       # 42s
+    "test_remat_step_matches_plain",            # 42s
+    "test_train_step_half_width",               # 37s
+    "test_quant_path_with_fused_stacks",        # 31s
+    "test_inference_tp_sharded_matches_replicated",        # 30s
+    "test_tensorboard_mirror",                  # 29s
+    "test_golden_eval_accepts_artifact_fn",     # 27s
+    "test_bf16_step_runs_fp32_params",          # 25s
+    "test_resume_adv_from_non_adv_state",       # 21s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        base = item.name.split("[")[0]
+        if fname in _SLOW_FILES or base in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
