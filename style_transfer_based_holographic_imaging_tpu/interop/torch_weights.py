@@ -185,11 +185,22 @@ def convert_distance_state_dict(
 
 
 def load_reference_checkpoint(
-    vgg: str, decoder: str, distance: str, *, image_size: int = 128
+    vgg: str,
+    decoder: str,
+    distance: str,
+    *,
+    image_size: int = 128,
+    decoder_ph: str = None,
 ):
-    """One-call migration path: the reference's three torch artifacts
+    """One-call migration path: the reference's torch artifacts
     (test_field_retrieval_mnist.py:70-88) -> a complete variables tree for
     ``StyleTransferNet`` / ``pipelines.field_retrieval.retrieval_step``.
+
+    ``decoder_ph`` additionally converts the reference's dedicated phase
+    decoder (``decoder_ph_iter_80000.pth.tar``, loaded at
+    test_field_retrieval_mnist.py:77; same AmpPhaseDecoder layout) — the
+    returned tree then auto-routes phase through it at eval/serving
+    (models.net.has_phase_decoder).
 
     Starts from a fresh ``init_net_params`` tree (so any parameter the torch
     files do not cover — e.g. deeper encoder taps than the file was truncated
@@ -200,13 +211,21 @@ def load_reference_checkpoint(
     from style_transfer_based_holographic_imaging_tpu.models import init_net_params
 
     variables = jax.device_get(
-        init_net_params(jax.random.key(0), image_size=image_size)
+        init_net_params(
+            jax.random.key(0),
+            image_size=image_size,
+            with_phase_decoder=decoder_ph is not None,
+        )
     )
     converted = {
         "encoder": convert_vgg_state_dict(load_torch_tensor(vgg)),
         "decoder": convert_decoder_state_dict(load_torch_tensor(decoder)),
         "distance_g": convert_distance_state_dict(load_torch_tensor(distance)),
     }
+    if decoder_ph is not None:
+        converted["decoder_ph"] = convert_decoder_state_dict(
+            load_torch_tensor(decoder_ph)
+        )
     for module, tree in converted.items():
         for layer, leaves in tree.items():
             dst = variables["params"][module][layer]

@@ -335,6 +335,50 @@ class TestLoadReferenceCheckpoint:
         assert out["amp_foc"].shape == (2, 1, 32, 32)
         assert np.all(np.isfinite(np.asarray(out["distance_pred"])))
 
+    def test_decoder_ph_artifact_converts_and_routes(self, rng, tmp_path):
+        """The reference's decoder_ph_iter_80000.pth.tar converts into the
+        decoder_ph subtree and eval auto-routes phase through it."""
+        from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
+        from style_transfer_based_holographic_imaging_tpu.interop.torch_weights import (
+            load_reference_checkpoint,
+        )
+        from style_transfer_based_holographic_imaging_tpu.models.net import (
+            has_phase_decoder,
+        )
+        from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
+            retrieval_step,
+        )
+
+        tv = build_torch_vgg()
+        sd = tv.state_dict()
+        sd["0.weight"] = torch.randn(3, 3, 1, 1)
+        vgg_p = str(tmp_path / "vgg_normalised.pth")
+        torch.save(sd, vgg_p)
+        dec_p = str(tmp_path / "decoder_iter_80000.pth.tar")
+        torch.save(build_torch_decoder().state_dict(), dec_p)
+        ph_p = str(tmp_path / "decoder_ph_iter_80000.pth.tar")
+        torch.save(build_torch_decoder().state_dict(), ph_p)
+        dist_p = str(tmp_path / "distance_g_iter_80000.pth.tar")
+        torch.save(build_torch_distance().state_dict(), dist_p)
+
+        variables = load_reference_checkpoint(
+            vgg_p, dec_p, dist_p, decoder_ph=ph_p
+        )
+        assert has_phase_decoder(variables)
+        holo = jnp.asarray(rng.random((1, 1, 32, 32)).astype(np.float32) * 0.6)
+        sm = jnp.asarray(rng.random((1, 1, 1, 512)).astype(np.float32))
+        ss = sm + 0.5
+        out = retrieval_step(variables, holo, sm, ss, 0.2, physics=PhysicsConfig())
+        plain = load_reference_checkpoint(vgg_p, dec_p, dist_p)
+        out_plain = retrieval_step(plain, holo, sm, ss, 0.2, physics=PhysicsConfig())
+        np.testing.assert_allclose(
+            np.asarray(out["amp_field"]), np.asarray(out_plain["amp_field"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        assert not np.allclose(
+            np.asarray(out["ph_field"]), np.asarray(out_plain["ph_field"])
+        )
+
     def test_shape_mismatch_raises(self, tmp_path):
         from style_transfer_based_holographic_imaging_tpu.interop.torch_weights import (
             load_reference_checkpoint,
