@@ -179,7 +179,29 @@ def synth_batch(
 
     digits_s = jnp.power(jnp.clip(bank[idx_s], 0.0, 1.0), pgamma[0]) * pscale[0]
     digits_c = jnp.power(jnp.clip(bank[idx_c], 0.0, 1.0), pgamma[1]) * pscale[1]
-    pad_cfg = ((0, 0), (pad, pad), (pad, pad))
+    pad_rem = pad
+    if data.rotate_deg or data.elastic_px:
+        # Shape-diversity warp on the digit TILE (+small margin so rotated
+        # corners don't clip), not the full canvas — 4x cheaper gathers for
+        # identical augmentation semantics (the remaining canvas pad is
+        # zeros either way).
+        m = min(8, pad)
+        pad_rem = pad - m
+        warp = functools.partial(
+            _shape_warp,
+            rotate_deg=data.rotate_deg,
+            elastic_px=data.elastic_px,
+            elastic_cells=data.elastic_cells,
+        )
+        kw_s, kw_c = jax.random.split(jax.random.fold_in(key, 0x5A17))
+        tile_pad = ((0, 0), (m, m), (m, m))
+        digits_s = jax.vmap(warp)(
+            jnp.pad(digits_s, tile_pad), jax.random.split(kw_s, b)
+        )
+        digits_c = jax.vmap(warp)(
+            jnp.pad(digits_c, tile_pad), jax.random.split(kw_c, b)
+        )
+    pad_cfg = ((0, 0), (pad_rem, pad_rem), (pad_rem, pad_rem))
     phase_s = jnp.pad(digits_s, pad_cfg)
     phase_c = jnp.pad(digits_c, pad_cfg)
     # flip and translate are independent knobs: data.flip gates ONLY the
@@ -189,16 +211,6 @@ def synth_batch(
         flips = jnp.zeros_like(flips)
     phase_s = jax.vmap(_augment)(phase_s, flips[0], shifts[0])
     phase_c = jax.vmap(_augment)(phase_c, flips[1], shifts[1])
-    if data.rotate_deg or data.elastic_px:
-        warp = functools.partial(
-            _shape_warp,
-            rotate_deg=data.rotate_deg,
-            elastic_px=data.elastic_px,
-            elastic_cells=data.elastic_cells,
-        )
-        kw_s, kw_c = jax.random.split(jax.random.fold_in(key, 0x5A17))
-        phase_s = jax.vmap(warp)(phase_s, jax.random.split(kw_s, b))
-        phase_c = jax.vmap(warp)(phase_c, jax.random.split(kw_c, b))
 
     phase_s = phase_s[:, None]  # (B, 1, S, S)
     phase_c = phase_c[:, None]
