@@ -16,6 +16,7 @@ from style_transfer_based_holographic_imaging_tpu.parallel.tp import (
 )
 from style_transfer_based_holographic_imaging_tpu.parallel.pp import (
     PIPE_AXIS,
+    make_pipeline_finetune_fn,
     make_pipeline_retrieval_fn,
     pipeline_plan,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "tp_shard_params",
     "tp_state_shardings",
     "PIPE_AXIS",
+    "make_pipeline_finetune_fn",
     "make_pipeline_retrieval_fn",
     "pipeline_plan",
     "zero_state_shardings",
