@@ -118,7 +118,15 @@ def export_retrieval(
         kw["disabled_checks"] = [
             jexport.DisabledSafetyCheck.custom_call("tpu_custom_call")
         ]
-    net = StyleTransferNet(dtype=dtype or jnp.float32, width=cfg.model.width)
+    from style_transfer_based_holographic_imaging_tpu.models.net import (
+        has_phase_decoder,
+    )
+
+    net = StyleTransferNet(
+        dtype=dtype or jnp.float32,
+        width=cfg.model.width,
+        with_phase_decoder=has_phase_decoder(params),
+    )
     step = functools.partial(
         retrieval_step,
         physics=cfg.physics,

@@ -186,11 +186,16 @@ class RetrievalService:
         # registers a custom_partitioning (kernels/asm_pallas.py) that shards
         # its batch dim with the operands, so "auto" selection is safe.
         self._asm_backend = None
+        from style_transfer_based_holographic_imaging_tpu.models.net import (
+            has_phase_decoder,
+        )
+
         self._fn = make_retrieval_fn(
             self.config.physics,
             alpha=self.config.eval.alpha,
             dtype=dtype,
             width=self.config.model.width,
+            with_phase_decoder=has_phase_decoder(params),
             quant_scales=quant_scales,
             asm_backend=self._asm_backend,
         )

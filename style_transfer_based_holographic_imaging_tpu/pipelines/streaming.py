@@ -75,10 +75,15 @@ def stream_retrieval(
     # batch dim with the operands, so "auto" backend selection is safe under
     # a mesh.
     asm_backend = None
+    from style_transfer_based_holographic_imaging_tpu.models.net import (
+        has_phase_decoder,
+    )
+
     fn = make_retrieval_fn(
         config.physics,
         dtype=dtype,
         width=config.model.width,
+        with_phase_decoder=has_phase_decoder(params),
         quant_scales=quant_scales,
         asm_backend=asm_backend,
     )
