@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--max-steps", type=int, default=0,
+                    help="profile only the first N chain steps (CPU smoke)")
+    ap.add_argument("--skip-retrieval", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -140,6 +143,9 @@ def main():
             steps.append((f"dec.{name}", dec_conv(name, relu=name != "conv10"),
                           dec_shapes[name], "conv", f"decoder.{name}"))
 
+    if args.max_steps:
+        steps = steps[: args.max_steps]
+
     # ---- timing: progressive prefixes -----------------------------------
     def timed(fn, *fargs):
         out = fn(*fargs)
@@ -204,6 +210,9 @@ def main():
           flush=True)
 
     # ---- context: distance head + physics + unwrap via retrieval_step ----
+    if args.skip_retrieval:
+        print(json.dumps({"batch": b, "net_ms": round(net_ms, 2)}))
+        return
     physics = PhysicsConfig()
     fn_full = make_retrieval_fn(physics, dtype=dt, quant_scales=scales)
     fn_nouw = make_retrieval_fn(physics, dtype=dt, quant_scales=scales, unwrap=False)
