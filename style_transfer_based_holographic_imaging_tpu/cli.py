@@ -340,6 +340,13 @@ def cmd_train(args):
             MeasuredHologramSampler,
         )
 
+        if args.digit_bank:
+            print(
+                "--digit-bank and --mat-root are mutually exclusive "
+                "(measured-tree training draws no synthetic objects)",
+                file=sys.stderr,
+            )
+            return 1
         if cfg.train.supervised_weight:
             # Measured trees carry only (intensity, distance) — no complex
             # GT exists to supervise on (reference utils/Data_loader.py:
@@ -354,18 +361,13 @@ def cmd_train(args):
             cfg = dataclasses.replace(
                 cfg, train=dataclasses.replace(cfg.train, supervised_weight=0.0)
             )
-        layout = {
-            "rbc": "red_blood_cell",
-            "polystyrene_bead": "polystyrene",
-            "mnist": "generic",
-        }.get(args.domain, args.domain)
         sampler = MeasuredHologramSampler(
-            args.mat_root, cfg.data, cfg.physics, domain=layout
+            args.mat_root, cfg.data, cfg.physics, domain=args.domain
         )
         print(
             f"measured train tree: {len(sampler.ds)} frames "
-            f"({len(sampler._content_idx)} content / "
-            f"{len(sampler._style_idx)} style candidates)",
+            f"({sampler.n_content} content / {sampler.n_style} style "
+            "candidates)",
             file=sys.stderr,
         )
     bank = None
@@ -526,13 +528,8 @@ def cmd_extract_style(args):
             style_vector_from_holograms,
         )
 
-        layout = {
-            "rbc": "red_blood_cell",
-            "polystyrene_bead": "polystyrene",
-            "mnist": "generic",
-        }.get(args.domain, args.domain)
         sampler = MeasuredHologramSampler(
-            args.mat_root, cfg.data, cfg.physics, domain=layout
+            args.mat_root, cfg.data, cfg.physics, domain=args.domain
         )
         net = StyleTransferNet(width=cfg.model.width)
         ms, ss = zip(

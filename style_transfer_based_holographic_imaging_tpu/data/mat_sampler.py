@@ -37,7 +37,15 @@ import numpy as np
 from style_transfer_based_holographic_imaging_tpu.config import DataConfig, PhysicsConfig
 from style_transfer_based_holographic_imaging_tpu.data.mat_loader import HoloMatDataset
 
-__all__ = ["MeasuredHologramSampler"]
+__all__ = ["MeasuredHologramSampler", "DOMAIN_LAYOUTS"]
+
+#: Preset-name aliases -> HoloMatDataset tree layouts (one home for the
+#: mapping; the CLI train/extract-style commands both resolve through it).
+DOMAIN_LAYOUTS = {
+    "rbc": "red_blood_cell",
+    "polystyrene_bead": "polystyrene",
+    "mnist": "generic",
+}
 
 
 class MeasuredHologramSampler:
@@ -72,6 +80,7 @@ class MeasuredHologramSampler:
         self.data = data
         self.physics = physics
         self.iteration = start_iteration
+        domain = DOMAIN_LAYOUTS.get(domain, domain)
         style_d = tuple(style_distances or data.style_distances)
         content_d = tuple(content_distances or data.content_distances)
         all_d = sorted(set(style_d) | set(content_d))
@@ -105,6 +114,16 @@ class MeasuredHologramSampler:
             self._cache = [self._load(i) for i in range(len(self.ds))]
 
     # ------------------------------------------------------------------
+
+    @property
+    def n_content(self) -> int:
+        """Frames eligible as content draws."""
+        return len(self._content_idx)
+
+    @property
+    def n_style(self) -> int:
+        """Frames eligible as style draws."""
+        return len(self._style_idx)
 
     def _load(self, i: int) -> np.ndarray:
         """(H, W) sqrt-intensity hologram, float32 (net input units — the

@@ -60,11 +60,16 @@ def evaluate_synth_domain(
     ``seed`` and further randomizes the eval stream.
     """
     physics = config.physics
+    from style_transfer_based_holographic_imaging_tpu.models.net import (
+        has_phase_decoder,
+    )
+
     fn = make_retrieval_fn(
         physics,
         alpha=config.eval.alpha,
         dtype=dtype,
         width=config.model.width,
+        with_phase_decoder=has_phase_decoder(params),
         quant_scales=quant_scales,
     )
     sm, ss = (jnp.asarray(style[0]), jnp.asarray(style[1]))

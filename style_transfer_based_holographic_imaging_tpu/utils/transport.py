@@ -79,13 +79,58 @@ def _ancestor_pids() -> set:
     return pids
 
 
+def _line_pids(line: str) -> set:
+    pids = set()
+    for part in line.split("pid=")[1:]:
+        num = part.split(",")[0].split(")")[0]
+        if num.isdigit():
+            pids.add(int(num))
+    return pids
+
+
+def _relay_listen_ports() -> tuple:
+    """(relay_pids, relay_ports): the process(es) LISTENing on the relay's
+    first port, and EVERY port that process listens on — the relay serves a
+    whole port set (measured: 8082, 8083, 8087, 8092-8107, ...) and a TPU
+    client may be connected to any of them."""
+    try:
+        r = subprocess.run(
+            ["ss", "-tnlp"], capture_output=True, text=True, timeout=10
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return set(), set()
+    rows = []
+    for line in r.stdout.splitlines():
+        cols = line.split("users:")[0].split()
+        if len(cols) < 4 or ":" not in cols[3]:
+            continue
+        port = cols[3].rsplit(":", 1)[1]
+        if port.isdigit():
+            rows.append((int(port), _line_pids(line)))
+    relay_pids = set()
+    for port, pids in rows:
+        if port == _RELAY_PORT:
+            relay_pids |= pids
+    relay_ports = {
+        port for port, pids in rows if pids & relay_pids
+    } or {_RELAY_PORT}
+    return relay_pids, relay_ports
+
+
 def stale_tpu_pids() -> list:
-    """PIDs of OTHER processes holding a TCP connection to the relay port.
+    """PIDs of OTHER processes holding a CLIENT connection to the relay.
 
     Identified by socket ownership (``ss -tnp``), never by command-line
     pattern. A second TPU process is the most common wedge cause (only one
     chip lease exists); after a crash the stale holder blocks every probe.
+
+    Only sockets whose PEER port is one of the relay's listen ports count:
+    the relay's own accept-side sockets have those ports as their LOCAL
+    address, and killing the host-managed relay would destroy ALL TPU
+    access for the session (it must never be restarted — CLAUDE.md). The
+    relay's pids are additionally excluded outright.
     """
+    relay_pids, relay_ports = _relay_listen_ports()
     try:
         r = subprocess.run(
             ["ss", "-tnp"], capture_output=True, text=True, timeout=10
@@ -94,13 +139,15 @@ def stale_tpu_pids() -> list:
         return []
     pids = set()
     for line in r.stdout.splitlines():
-        if f":{_RELAY_PORT}" not in line.split("users:")[0]:
+        cols = line.split("users:")[0].split()
+        # State Recv-Q Send-Q Local:Port Peer:Port -> peer is the 5th column
+        if len(cols) < 5 or ":" not in cols[4]:
             continue
-        for part in line.split("pid=")[1:]:
-            num = part.split(",")[0].split(")")[0]
-            if num.isdigit():
-                pids.add(int(num))
-    return sorted(pids - _ancestor_pids())
+        peer_port = cols[4].rsplit(":", 1)[1]
+        if not peer_port.isdigit() or int(peer_port) not in relay_ports:
+            continue
+        pids.update(_line_pids(line))
+    return sorted(pids - _ancestor_pids() - relay_pids)
 
 
 def sweep_stale_tpu(log=None) -> int:

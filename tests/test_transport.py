@@ -93,3 +93,38 @@ def test_stale_pids_excludes_self(monkeypatch):
 
     monkeypatch.setattr(transport.subprocess, "run", lambda *a, **k: R())
     assert transport.stale_tpu_pids() == [999999]
+
+
+def test_sweep_excludes_relay_and_finds_clients(monkeypatch):
+    """stale_tpu_pids must return CLIENT pids (peer = a relay listen port)
+    and NEVER the relay's own pids — its accept-side sockets carry the
+    relay port as the LOCAL address, and SIGKILLing the host-managed relay
+    would permanently destroy TPU access (round-2 review finding)."""
+    import subprocess
+    import types
+
+    LISTEN = (
+        "State  Recv-Q Send-Q Local Address:Port  Peer Address:Port Process\n"
+        'LISTEN 0 64 127.0.0.1:8082 0.0.0.0:* users:(("python3",pid=444,fd=3))\n'
+        'LISTEN 0 64 127.0.0.1:8102 0.0.0.0:* users:(("python3",pid=444,fd=17))\n'
+        'LISTEN 0 1024 127.0.0.1:9999 0.0.0.0:* users:(("other",pid=9,fd=9))\n'
+    )
+    ESTAB = (
+        "State Recv-Q Send-Q Local Address:Port  Peer Address:Port Process\n"
+        # relay's accept-side socket (local = relay port) -> must NOT match
+        'ESTAB 0 0 127.0.0.1:8102 127.0.0.1:48778 users:(("python3",pid=444,fd=31))\n'
+        # stale client on a NON-first relay port -> must match
+        'ESTAB 0 0 127.0.0.1:48778 127.0.0.1:8102 users:(("python",pid=31337,fd=11))\n'
+        # unrelated connection -> must NOT match
+        'ESTAB 0 0 127.0.0.1:1111 127.0.0.1:9999 users:(("other",pid=9,fd=9))\n'
+    )
+
+    def fake_run(cmd, **kw):
+        out = LISTEN if "-tnlp" in cmd else ESTAB
+        return types.SimpleNamespace(stdout=out, returncode=0)
+
+    monkeypatch.setattr(transport.subprocess, "run", fake_run)
+    relay_pids, ports = transport._relay_listen_ports()
+    assert relay_pids == {444}
+    assert ports == {8082, 8102}
+    assert transport.stale_tpu_pids() == [31337]
