@@ -258,3 +258,39 @@ def test_quant_release_meets_recorded_bar():
     with open(rec_path) as f:
         recorded = json.load(f)
     assert np.mean(psnrs) >= recorded["mean_psnr"] - 2.0, (psnrs, recorded["mean_psnr"])
+
+
+ADV_RELEASE = os.path.join(REPO, "checkpoints", "adv_release")
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(ADV_RELEASE), reason="no adv_release promoted"
+)
+def test_adv_release_meets_recorded_bar():
+    """The adversarially-fine-tuned sibling release (docs/QUALITY.md): the
+    reference's full training scheme includes the PatchGAN term, and this
+    artifact is the shipped evidence of that path at scale. Bars: held-out
+    PSNR within 95% of recorded, and the near-perfect distance regression
+    that is its reason to exist (R2 >= 0.997, max distance error < 40 um)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+    from style_transfer_based_holographic_imaging_tpu.data import load_golden_suite
+    from style_transfer_based_holographic_imaging_tpu.pipelines import (
+        evaluate_golden_suite,
+    )
+
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(ADV_RELEASE))
+    params = restored["params"]
+    sv = np.load(os.path.join(REPO, "checkpoints", "adv_style_vector.npz"))
+    with open(os.path.join(REPO, "checkpoints", "adv_config.json")) as f:
+        cfg = ExperimentConfig.from_json(f.read())
+    with open(os.path.join(REPO, "checkpoints", "adv_golden_metrics.json")) as f:
+        recorded = json.load(f)
+    metrics = evaluate_golden_suite(
+        params, load_golden_suite(), cfg, style_override=(sv["mean"], sv["std"])
+    )
+    assert metrics["heldout_mean_psnr"] >= 0.95 * recorded["heldout_mean_psnr"]
+    assert metrics["heldout_r2"] >= 0.997
+    assert metrics["distance_max_abs_err_um"] < 40.0
