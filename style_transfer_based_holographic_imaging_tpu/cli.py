@@ -347,6 +347,16 @@ def cmd_train(args):
                 file=sys.stderr,
             )
             return 1
+        if args.rotate_deg or args.elastic_px:
+            # MeasuredHologramSampler implements crop+flip only; recording
+            # unused warp knobs in config.json would misdocument the run.
+            print(
+                "--rotate-deg/--elastic-px apply to synthetic-object warps "
+                "and are not implemented by the measured-tree sampler; drop "
+                "them (measured training augments by crop+flip only)",
+                file=sys.stderr,
+            )
+            return 1
         if cfg.train.supervised_weight:
             # Measured trees carry only (intensity, distance) — no complex
             # GT exists to supervise on (reference utils/Data_loader.py:

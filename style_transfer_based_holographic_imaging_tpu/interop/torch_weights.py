@@ -200,7 +200,12 @@ def load_reference_checkpoint(
     decoder (``decoder_ph_iter_80000.pth.tar``, loaded at
     test_field_retrieval_mnist.py:77; same AmpPhaseDecoder layout) — the
     returned tree then auto-routes phase through it at eval/serving
-    (models.net.has_phase_decoder).
+    (models.net.has_phase_decoder). NOTE: the reference *loads* decoder_ph
+    but its live forward takes phase from main-decoder channel 1 (the
+    decoder_ph call is commented out at reference net.py:252) — for
+    bit-parity comparison against the reference test script, omit
+    ``decoder_ph`` here; pass it only when you want the phase-decoder
+    routing the artifact set was trained for.
 
     Starts from a fresh ``init_net_params`` tree (so any parameter the torch
     files do not cover — e.g. deeper encoder taps than the file was truncated

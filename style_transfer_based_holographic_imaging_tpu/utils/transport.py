@@ -88,33 +88,54 @@ def _line_pids(line: str) -> set:
     return pids
 
 
+_LOOPBACK_ADDRS = {"127.0.0.1", "::1", "::ffff:127.0.0.1"}
+_WILDCARD_ADDRS = {"0.0.0.0", "*", "::", "[::]"}
+
+
+def _split_addr(col: str) -> tuple:
+    """('addr', port:int|None) from an ss address column like
+    ``127.0.0.1:8082`` / ``[::1]:8082`` / ``*:8082``."""
+    addr, _, port = col.rpartition(":")
+    addr = addr.strip("[]")
+    return addr, (int(port) if port.isdigit() else None)
+
+
 def _relay_listen_ports() -> tuple:
-    """(relay_pids, relay_ports): the process(es) LISTENing on the relay's
-    first port, and EVERY port that process listens on — the relay serves a
-    whole port set (measured: 8082, 8083, 8087, 8092-8107, ...) and a TPU
-    client may be connected to any of them."""
+    """(relay_pids, relay_ports, relay_addrs): the process(es) LISTENing on
+    the relay's first port, EVERY port that process listens on — the relay
+    serves a whole port set (measured: 8082, 8083, 8087, 8092-8107, ...) and
+    a TPU client may be connected to any of them — and the set of addresses a
+    client's PEER endpoint may legitimately show for those ports (the relay's
+    concrete listen addresses; wildcard listens count as loopback, which is
+    where the axon client dials)."""
     try:
         r = subprocess.run(
             ["ss", "-tnlp"], capture_output=True, text=True, timeout=10
         )
     except (OSError, subprocess.TimeoutExpired):
-        return set(), set()
+        return set(), set(), set()
     rows = []
     for line in r.stdout.splitlines():
         cols = line.split("users:")[0].split()
         if len(cols) < 4 or ":" not in cols[3]:
             continue
-        port = cols[3].rsplit(":", 1)[1]
-        if port.isdigit():
-            rows.append((int(port), _line_pids(line)))
+        addr, port = _split_addr(cols[3])
+        if port is not None:
+            rows.append((addr, port, _line_pids(line)))
     relay_pids = set()
-    for port, pids in rows:
+    for _addr, port, pids in rows:
         if port == _RELAY_PORT:
             relay_pids |= pids
     relay_ports = {
-        port for port, pids in rows if pids & relay_pids
+        port for _addr, port, pids in rows if pids & relay_pids
     } or {_RELAY_PORT}
-    return relay_pids, relay_ports
+    relay_addrs = set()
+    for addr, _port, pids in rows:
+        if pids & relay_pids:
+            relay_addrs |= (
+                _LOOPBACK_ADDRS if addr in _WILDCARD_ADDRS else {addr}
+            )
+    return relay_pids, relay_ports, relay_addrs or set(_LOOPBACK_ADDRS)
 
 
 def stale_tpu_pids() -> list:
@@ -124,13 +145,16 @@ def stale_tpu_pids() -> list:
     pattern. A second TPU process is the most common wedge cause (only one
     chip lease exists); after a crash the stale holder blocks every probe.
 
-    Only sockets whose PEER port is one of the relay's listen ports count:
-    the relay's own accept-side sockets have those ports as their LOCAL
-    address, and killing the host-managed relay would destroy ALL TPU
-    access for the session (it must never be restarted — CLAUDE.md). The
-    relay's pids are additionally excluded outright.
+    Only sockets whose PEER endpoint is one of the relay's listen ports AT
+    one of the relay's listen addresses count: matching the port alone would
+    also sweep unrelated processes with outbound connections to port
+    8082/8092-8107 on some OTHER host. The relay's own accept-side sockets
+    have those ports as their LOCAL address, and killing the host-managed
+    relay would destroy ALL TPU access for the session (it must never be
+    restarted — CLAUDE.md). The relay's pids are additionally excluded
+    outright.
     """
-    relay_pids, relay_ports = _relay_listen_ports()
+    relay_pids, relay_ports, relay_addrs = _relay_listen_ports()
     try:
         r = subprocess.run(
             ["ss", "-tnp"], capture_output=True, text=True, timeout=10
@@ -143,8 +167,8 @@ def stale_tpu_pids() -> list:
         # State Recv-Q Send-Q Local:Port Peer:Port -> peer is the 5th column
         if len(cols) < 5 or ":" not in cols[4]:
             continue
-        peer_port = cols[4].rsplit(":", 1)[1]
-        if not peer_port.isdigit() or int(peer_port) not in relay_ports:
+        peer_addr, peer_port = _split_addr(cols[4])
+        if peer_port not in relay_ports or peer_addr not in relay_addrs:
             continue
         pids.update(_line_pids(line))
     return sorted(pids - _ancestor_pids() - relay_pids)

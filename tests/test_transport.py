@@ -124,7 +124,34 @@ def test_sweep_excludes_relay_and_finds_clients(monkeypatch):
         return types.SimpleNamespace(stdout=out, returncode=0)
 
     monkeypatch.setattr(transport.subprocess, "run", fake_run)
-    relay_pids, ports = transport._relay_listen_ports()
+    relay_pids, ports, addrs = transport._relay_listen_ports()
     assert relay_pids == {444}
     assert ports == {8082, 8102}
+    assert addrs == {"127.0.0.1"}
+    assert transport.stale_tpu_pids() == [31337]
+
+
+def test_sweep_requires_relay_peer_address(monkeypatch):
+    """A connection to a relay PORT on some OTHER host is not a relay client
+    (round-2 advisor finding: port-only matching would SIGKILL any process
+    with an outbound connection to 8082/8092-8107 anywhere)."""
+    import types
+
+    LISTEN = (
+        "State  Recv-Q Send-Q Local Address:Port  Peer Address:Port Process\n"
+        'LISTEN 0 64 127.0.0.1:8082 0.0.0.0:* users:(("python3",pid=444,fd=3))\n'
+    )
+    ESTAB = (
+        "State Recv-Q Send-Q Local Address:Port  Peer Address:Port Process\n"
+        # outbound to port 8082 on a REMOTE host -> must NOT match
+        'ESTAB 0 0 10.0.0.7:51000 93.184.216.34:8082 users:(("curl",pid=777,fd=5))\n'
+        # true relay client (loopback peer) -> must match
+        'ESTAB 0 0 127.0.0.1:48778 127.0.0.1:8082 users:(("python",pid=31337,fd=11))\n'
+    )
+
+    def fake_run(cmd, **kw):
+        out = LISTEN if "-tnlp" in cmd else ESTAB
+        return types.SimpleNamespace(stdout=out, returncode=0)
+
+    monkeypatch.setattr(transport.subprocess, "run", fake_run)
     assert transport.stale_tpu_pids() == [31337]
