@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--lr", type=float, default=2e-5)
     ap.add_argument("--adv-weight", type=float, default=1.0)
+    ap.add_argument("--ema-decay", type=float, default=0.0,
+                    help="Polyak-average the generator over the fine-tune "
+                         "(e.g. 0.999) — rides out the GAN oscillation; the "
+                         "EMA weights are scored separately (GOLDEN_EVAL_EMA)")
     ap.add_argument("--out", type=str, default="checkpoints_adv")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
@@ -81,6 +85,7 @@ def main():
             iterations=args.iterations,
             lr=args.lr,
             adv_weight=args.adv_weight,
+            ema_decay=args.ema_decay,
             checkpoint_every=max(args.iterations // 2, 1),
             checkpoint_dir=args.out,
             log_every=200,
@@ -127,6 +132,31 @@ def main():
     )
     print("GOLDEN_EVAL " + json.dumps(
         {k: metrics[k] for k in keys if k in metrics}), flush=True)
+
+    if state.ema_params is not None:
+        # Score the Polyak-averaged weights with their own style vector (the
+        # style statistics are a function of the encoder params).
+        ema_mean, ema_std = extract_style_vector(
+            state.ema_params, cfg, bank, n_batches=32
+        )
+        save_style_vector(
+            ema_mean, ema_std, os.path.join(args.out, "style_vector_ema.npz")
+        )
+        ema_metrics = evaluate_golden_suite(
+            state.ema_params,
+            goldens,
+            cfg,
+            style_override=(ema_mean, ema_std),
+        )
+        print(
+            "GOLDEN_EVAL_EMA "
+            + json.dumps({k: ema_metrics[k] for k in keys if k in ema_metrics}),
+            flush=True,
+        )
+        for k in keys:
+            if k in ema_metrics:
+                metrics[f"ema_{k}"] = ema_metrics[k]
+
     with open(os.path.join(args.out, "golden_metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
 

@@ -39,12 +39,16 @@ def main():
     ap.add_argument("--grad-accum", type=int, default=1,
                     help="micro-batches accumulated per optimizer step")
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--bank", choices=("sklearn", "golden", "mixed"), default="mixed",
+    ap.add_argument("--bank", choices=("sklearn", "golden", "golden-all", "mixed"),
+                    default="mixed",
                     help="digit bank for hologram synthesis: sklearn digits, the "
                     "golden suite's MNIST GT digits, or both (golden oversampled "
                     "to ~50%% — the reference trains on the MNIST distribution "
                     "its test set is drawn from; sklearn-only provably does not "
-                    "transfer)")
+                    "transfer). 'golden-all' trains on ALL 100 golden digits — "
+                    "the deliberately-contaminated ORACLE run that bounds the "
+                    "architecture's achievable ceiling; its held-out metrics "
+                    "are meaningless and flagged as such")
     ap.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32",
                     help="conv compute dtype; bfloat16 = mixed-precision "
                          "training (fp32 params/losses, ~MXU 2x)")
@@ -129,13 +133,14 @@ def main():
     t0 = time.time()
     if args.bank == "sklearn":
         bank = sklearn_digit_bank()
-    elif args.bank == "golden":
+    elif args.bank in ("golden", "golden-all"):
         from style_transfer_based_holographic_imaging_tpu.data.synth import (
             GOLDEN_TRAIN_DIGITS,
             golden_digit_bank,
         )
 
-        bank = golden_digit_bank(load_golden_suite(), subset=GOLDEN_TRAIN_DIGITS)
+        subset = GOLDEN_TRAIN_DIGITS if args.bank == "golden" else None
+        bank = golden_digit_bank(load_golden_suite(), subset=subset)
     else:
         from style_transfer_based_holographic_imaging_tpu.data.synth import (
             mixed_digit_bank,
@@ -208,6 +213,12 @@ def main():
         metrics["ema_mean_mae"] = ema_metrics["mean_mae"]
         metrics["ema_r2"] = ema_metrics["r2"]
 
+    metrics["train_bank"] = args.bank
+    if args.bank == "golden-all":
+        # Oracle run: training saw every golden digit, so the "held-out"
+        # split is contaminated by construction; keep the numbers but flag
+        # them so nobody quotes them as generalization.
+        metrics["oracle_contaminated"] = True
     with open(os.path.join(args.out, "golden_metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
 
