@@ -1,19 +1,23 @@
 """Per-layer roofline profile of the flagship int8 serving path (VERDICT r1
 next-step #6: "push flagship toward 10x or prove the ceiling with a
-kernel-level profile").
+kernel-level profile"; method REPLACED per round-2 VERDICT weak #3).
 
-Times PROGRESSIVE PREFIXES of the exact serving computation (stem-folded
-quant encoder -> AdaIN -> quant decoder), so per-layer cost is measured
-in-chain (isolated timings on the remote backend carry a ~2 ms dispatch
-floor and miss fusion — docs/PERFORMANCE.md traps). For each step the
-marginal time, the analytic GFLOPs, and the achieved fraction of the v5e
-peak for the step's precision (int8 394 TOP/s, bf16 197 TFLOP/s) are
-reported as a markdown table for docs/PERFORMANCE.md.
+Round-2's method timed PROGRESSIVE PREFIXES and differenced them; XLA
+fuses/schedules each prefix differently, so a third of the marginals came
+out negative and the %-peak column carried garbage — not a proof. This
+version times each step IN ISOLATION but amortized: the op runs ``--iters``
+times inside one ``lax.scan`` in a single jitted call (one dispatch for the
+whole repeat loop, so the remote backend's ~2 ms dispatch floor divides by
+``iters``), on its REAL intermediate input activation, with a tiny
+per-iteration input perturbation so XLA cannot CSE the repeats. A scan
+baseline (the same loop around identity) is subtracted, and the sum of the
+per-op times is cross-checked against the directly-timed full chain — the
+fusion error of isolation is then a visible number, not a hidden bias.
 
 Params are passed as jit ARGUMENTS (a closed-over device array is embedded
 as an HLO constant at lowering, which fetches it to host — CLAUDE.md).
 
-Usage: python scripts/exp_flagship_profile.py [--batch 512] [--iters 10]
+Usage: python scripts/exp_flagship_profile.py [--batch 512] [--iters 32]
 """
 
 import argparse
@@ -33,7 +37,7 @@ PEAK_BF16 = 197e12
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--max-steps", type=int, default=0,
                     help="profile only the first N chain steps (CPU smoke)")
@@ -146,42 +150,79 @@ def main():
     if args.max_steps:
         steps = steps[: args.max_steps]
 
-    # ---- timing: progressive prefixes -----------------------------------
-    def timed(fn, *fargs):
-        out = fn(*fargs)
-        float(jax.device_get(jnp.sum(out.astype(jnp.float32))))
+    # ---- timing: per-op, amortized in one lax.scan dispatch --------------
+    iters = args.iters
+
+    def timed_op(f, x_in, P, sm, ss):
+        @jax.jit
+        def rep(x0, P, sm, ss):
+            def body(acc, k):
+                # Perturb the input per iteration so XLA cannot CSE the
+                # repeated pure op; one elementwise multiply is negligible
+                # against any conv at these sizes.
+                x = x0 * (1.0 + 1e-6 * k.astype(jnp.float32)).astype(x0.dtype)
+                y = f(x, P, sm, ss)
+                return acc + jnp.sum(y.astype(jnp.float32)), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.float32(0.0), jnp.arange(iters, dtype=jnp.int32)
+            )
+            return acc
+
+        float(jax.device_get(rep(x_in, P, sm, ss)))  # compile + warm
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            acc = None
-            for _ in range(args.iters):
-                s = jnp.sum(fn(*fargs).astype(jnp.float32))
-                acc = s if acc is None else acc + s
-            float(jax.device_get(acc))
-            best = min(best, (time.perf_counter() - t0) / args.iters)
-        return best * 1e3  # ms
+            float(jax.device_get(rep(x_in, P, sm, ss)))
+            best = min(best, time.perf_counter() - t0)
+        return best / iters * 1e3  # ms per op application
 
-    def prefix_fn(n):
-        fns = [s[1] for s in steps[:n]]
+    # Scan/dispatch overhead baseline: identity op through the same loop.
+    base_ms = timed_op(lambda x, P, sm, ss: x, holo, params, sm, ss)
+    print(f"scan baseline: {base_ms:.4f} ms/iter", file=sys.stderr, flush=True)
 
-        def run(x, P, sm, ss):
-            for f in fns:
-                x = f(x, P, sm, ss)
-            return x
+    # Advance the REAL intermediate activation step by step — one live
+    # activation at a time (materializing all 27 of them at b=512 would be
+    # tens of GB of HBM).
+    op_ms = []
+    x_cur = holo
+    for i, (label, f, *_rest) in enumerate(steps):
+        t = max(timed_op(f, x_cur, params, sm, ss) - base_ms, 0.0)
+        op_ms.append(t)
+        print(f"step {i:2d} ({label}): {t:.3f} ms", file=sys.stderr, flush=True)
+        x_cur = jax.jit(f)(x_cur, params, sm, ss)
 
-        return jax.jit(run)
+    # Directly-timed full chain (the ground truth the per-op sum is checked
+    # against; fusion across op boundaries shows up as sum > chain).
+    def timed_chain():
+        @jax.jit
+        def rep(x0, P, sm, ss):
+            def body(acc, k):
+                x = x0 * (1.0 + 1e-6 * k.astype(jnp.float32)).astype(x0.dtype)
+                for _, f, *_r in steps:
+                    x = f(x, P, sm, ss)
+                return acc + jnp.sum(x.astype(jnp.float32)), None
 
-    times = [timed(prefix_fn(0), holo, params, sm, ss)]
-    for n in range(1, len(steps) + 1):
-        times.append(timed(prefix_fn(n), holo, params, sm, ss))
-        print(f"prefix {n:2d} ({steps[n-1][0]}): cum {times[-1]:.2f} ms",
-              file=sys.stderr, flush=True)
+            acc, _ = jax.lax.scan(
+                body, jnp.float32(0.0), jnp.arange(iters, dtype=jnp.int32)
+            )
+            return acc
+
+        float(jax.device_get(rep(holo, params, sm, ss)))
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            float(jax.device_get(rep(holo, params, sm, ss)))
+            best = min(best, time.perf_counter() - t0)
+        return max(best / iters * 1e3 - base_ms, 0.0)
+
+    net_ms = timed_chain()
 
     # ---- FLOPs per step (track spatial dims through the chain) -----------
     rows = []
     h = w = 128
     for i, (label, _, kshape, kind, scale_key) in enumerate(steps):
-        dt_ms = times[i + 1] - times[i]
+        dt_ms = op_ms[i]
         gflop, peak, prec = 0.0, PEAK_BF16, "bf16"
         if kind == "conv":
             if "+pool" in label:
@@ -197,14 +238,17 @@ def main():
         pct = (gflop * 1e9 / max(dt_ms, 1e-9) * 1e3) / peak * 100 if gflop else 0.0
         rows.append((label, f"{h}x{w}", gflop, dt_ms, prec if gflop else "-", pct))
 
-    print("\n| step | out HxW | GFLOP | ms (marginal) | precision | % peak |")
+    print("\n| step | out HxW | GFLOP | ms (isolated, amortized) | precision | % peak |")
     print("|---|---|---|---|---|---|")
     for label, hw, gflop, dt_ms, prec, pct in rows:
-        print(f"| {label} | {hw} | {gflop:.1f} | {dt_ms:+.2f} | {prec} | {pct:.0f} |")
+        print(f"| {label} | {hw} | {gflop:.1f} | {dt_ms:.3f} | {prec} | {pct:.0f} |")
 
-    net_ms = times[-1] - times[0]
+    sum_ms = sum(op_ms)
     total_gflop = sum(r[2] for r in rows)
-    print(f"\nnet chain: {net_ms:.2f} ms for {total_gflop:.1f} GFLOP "
+    print(f"\nper-op sum {sum_ms:.2f} ms vs full chain {net_ms:.2f} ms "
+          f"(isolation overhead {sum_ms - net_ms:+.2f} ms = "
+          f"{(sum_ms/net_ms - 1) * 100 if net_ms else 0:.1f}%)", flush=True)
+    print(f"net chain: {net_ms:.2f} ms for {total_gflop:.1f} GFLOP "
           f"(b={b}) -> {total_gflop*1e9/(net_ms*1e-3)/PEAK_INT8*100:.0f}% of "
           f"int8 peak / {total_gflop*1e9/(net_ms*1e-3)/PEAK_BF16*100:.0f}% of bf16 peak",
           flush=True)

@@ -49,6 +49,12 @@ def main():
                     "the deliberately-contaminated ORACLE run that bounds the "
                     "architecture's achievable ceiling; its held-out metrics "
                     "are meaningless and flagged as such")
+    ap.add_argument("--digit-bank", type=str, default=None,
+                    help="offline digit bank .npz overriding --bank: either "
+                    "{'bank': (N,64,64) float} or a standard MNIST export "
+                    "(x_train 28x28 uint8) — the drop-in reproducing the "
+                    "reference's torchvision-MNIST training distribution "
+                    "(utils/Data_loader.py:10-36)")
     ap.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32",
                     help="conv compute dtype; bfloat16 = mixed-precision "
                          "training (fp32 params/losses, ~MXU 2x)")
@@ -131,7 +137,14 @@ def main():
         f.write(cfg.to_json())
 
     t0 = time.time()
-    if args.bank == "sklearn":
+    if args.digit_bank:
+        from style_transfer_based_holographic_imaging_tpu.data.synth import (
+            load_digit_bank,
+        )
+
+        bank = load_digit_bank(args.digit_bank)
+        args.bank = f"file:{os.path.basename(args.digit_bank)}"
+    elif args.bank == "sklearn":
         bank = sklearn_digit_bank()
     elif args.bank in ("golden", "golden-all"):
         from style_transfer_based_holographic_imaging_tpu.data.synth import (

@@ -382,12 +382,17 @@ def cmd_train(args):
         )
     bank = None
     if args.digit_bank:
-        import numpy as np
+        from style_transfer_based_holographic_imaging_tpu.data.synth import (
+            load_digit_bank,
+        )
 
         if not os.path.isfile(args.digit_bank):
             print(f"--digit-bank {args.digit_bank}: file not found", file=sys.stderr)
             return 1
-        bank = np.load(args.digit_bank)["bank"]
+        # Accepts both the repo's {"bank"} layout and standard MNIST .npz
+        # exports (x_train 28x28 uint8) — the offline drop-in for the
+        # reference's torchvision-MNIST distribution (Data_loader.py:10-36).
+        bank = load_digit_bank(args.digit_bank)
     elif args.bank != "sklearn" and sampler is None:
         from style_transfer_based_holographic_imaging_tpu.data.synth import (
             GOLDEN_TRAIN_DIGITS,

@@ -28,6 +28,7 @@ from style_transfer_based_holographic_imaging_tpu.config import DataConfig, Phys
 from style_transfer_based_holographic_imaging_tpu.ops import holo_forward
 
 __all__ = [
+    "load_digit_bank",
     "sklearn_digit_bank",
     "golden_digit_bank",
     "mixed_digit_bank",
@@ -39,6 +40,49 @@ __all__ = [
     "synth_interpolation_batch",
     "InfiniteHologramSampler",
 ]
+
+
+def load_digit_bank(path: str, size: int = 64) -> np.ndarray:
+    """Load an offline digit bank from an ``.npz`` file — the first-class
+    drop-in for the reference's torchvision-MNIST training distribution
+    (utils/Data_loader.py:10-36; this environment cannot download datasets,
+    so the bundled default bank is sklearn digits + golden-suite digits).
+
+    Accepted layouts:
+
+    * ``bank``: (N, H, W) float in [0, 1] — used as-is (resized if H != size);
+    * standard MNIST exports: the first of ``x_train`` / ``train_images`` /
+      ``images`` / ``arr_0`` present — (N, 28, 28) uint8 (or float), scaled
+      to [0, 1] and bicubic-resized to ``size`` x ``size``.
+
+    So ``np.savez('mnist.npz', x_train=mnist_train_images)`` from any
+    offline MNIST copy reproduces the reference's training distribution
+    exactly (``cli train --digit-bank mnist.npz`` /
+    ``mint_checkpoint.py --digit-bank mnist.npz``).
+    """
+    with np.load(path) as z:
+        keys = ("bank", "x_train", "train_images", "images", "arr_0")
+        key = next((k for k in keys if k in z.files), None)
+        if key is None:
+            raise ValueError(
+                f"{path}: no digit array found (expected one of {keys}; "
+                f"got {z.files})"
+            )
+        arr = np.asarray(z[key])
+    if arr.ndim == 4 and arr.shape[-1] == 1:  # (N, H, W, 1) exports
+        arr = arr[..., 0]
+    if arr.ndim != 3:
+        raise ValueError(f"{path}[{key}]: expected (N, H, W), got {arr.shape}")
+    arr = arr.astype(np.float32)
+    if arr.max() > 1.5:  # uint8-scaled pixels
+        arr = arr / 255.0
+    if arr.shape[1:] != (size, size):
+        arr = np.asarray(
+            jax.image.resize(
+                jnp.asarray(arr), (arr.shape[0], size, size), method="cubic"
+            )
+        )
+    return np.clip(arr, 0.0, 1.0)
 
 
 def sklearn_digit_bank(size: int = 64) -> np.ndarray:

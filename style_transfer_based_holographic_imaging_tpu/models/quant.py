@@ -337,8 +337,13 @@ def quant_decode(
     observer: Optional[_Observer] = None,
     compute_dtype: Any = jnp.bfloat16,
     max_hw: int = 128,
+    prefix: str = "decoder",
 ) -> jax.Array:
-    """relu4_1 features -> (B, H, W, 2) amp+phase (mirrors AmpPhaseDecoder)."""
+    """relu4_1 features -> (B, H, W, 2) amp+phase (mirrors AmpPhaseDecoder).
+
+    ``prefix`` names the scales-dict namespace — "decoder" for the main
+    amp/phase decoder, "decoder_ph" for the dedicated phase head (the
+    reference's decoder_ph artifact, test_field_retrieval_mnist.py:77)."""
     dt = compute_dtype
     x = t.astype(dt)
     for i, (kind, name) in enumerate(_DEC_LADDER):
@@ -365,7 +370,7 @@ def quant_decode(
                 p10["bias"],
             )
         last = i == len(_DEC_LADDER) - 1
-        am = _layer_scale(scales, observer, f"decoder.{name}", x, max_hw)
+        am = _layer_scale(scales, observer, f"{prefix}.{name}", x, max_hw)
         x = _reflect_conv(
             x, p["kernel"], p["bias"], dt=dt, act_max=am, relu=not last
         )
@@ -414,6 +419,19 @@ def quant_retrieval_forward(
         max_hw=max_hw,
     )
     amp, phase = g[..., 0:1], g[..., 1:2]
+    if "decoder_ph" in params:
+        # Dedicated phase head: phase from decoder_ph channel 0, mirroring
+        # StyleTransferNet.field_retrieval's with_phase_decoder branch.
+        ph = quant_decode(
+            params["decoder_ph"],
+            t,
+            scales=scales,
+            observer=observer,
+            compute_dtype=compute_dtype,
+            max_hw=max_hw,
+            prefix="decoder_ph",
+        )
+        phase = ph[..., 0:1]
     if not unknown_distance:
         return amp, phase
     mlp = DistanceMLP(dtype=compute_dtype)

@@ -69,6 +69,7 @@ __all__ = [
     "PIPE_AXIS",
     "make_pipeline_retrieval_fn",
     "make_pipeline_finetune_fn",
+    "make_pipeline_train_fn",
     "pipeline_plan",
 ]
 
@@ -99,7 +100,7 @@ _DECODER: Tuple[Tuple[str, int, str], ...] = (
 
 @dataclasses.dataclass(frozen=True)
 class _Layer:
-    kind: str                      # 'stem' | 'rconv' | 'up' | 'adain'
+    kind: str                      # 'stem' | 'rconv' | 'up' | 'adain' | 'stash'
     path: Tuple[str, ...]          # into params['params']
     relu: bool
     pool_before: bool
@@ -108,11 +109,38 @@ class _Layer:
     flops: float
 
 
-def _build_chain(image_size: int, width: float = 1.0) -> List[_Layer]:
-    """The retrieval forward as a flat layer chain with static shapes."""
+def _build_chain(
+    image_size: int, width: float = 1.0, with_phase_decoder: bool = False
+) -> List[_Layer]:
+    """The retrieval forward as a flat layer chain with static shapes.
+
+    ``with_phase_decoder`` appends the dedicated decoder_ph ladder (the
+    reference's decoder_ph artifact surface, test_field_retrieval_mnist.py:77)
+    after a zero-param 'stash' op that parks the main decoder's output in the
+    ``g`` lane and rewinds the activation to the AdaIN mixture ``t`` — both
+    decoders consume the same ``t`` (models/net.py field_retrieval)."""
 
     def w_(f: int) -> int:
         return max(int(round(f * width)), 8)
+
+    def _decoder_ladder(layers, module, h, w, c):
+        for name, feats, kind in _DECODER:
+            ih, iw, ic = h, w, c
+            if kind == "u":
+                f = w_(feats)
+                h, w = h * 2, w * 2
+                layers.append(
+                    _Layer("up", (module, name), True, False, (ih, iw, ic),
+                           (h, w, f), 2.0 * h * w * ic * f)
+                )
+            else:
+                f = 2 if kind == "last" else w_(feats)
+                layers.append(
+                    _Layer("rconv", (module, name), kind != "last", False,
+                           (ih, iw, ic), (h, w, f), 2.0 * h * w * 9 * ic * f)
+                )
+            c = f
+        return h, w, c
 
     layers: List[_Layer] = []
     h = w = image_size
@@ -140,22 +168,15 @@ def _build_chain(image_size: int, width: float = 1.0) -> List[_Layer]:
         _Layer("adain", ("distance_g",), False, False, (h, w, c), (h, w, c),
                d_flops)
     )
-    for name, feats, kind in _DECODER:
-        ih, iw, ic = h, w, c
-        if kind == "u":
-            f = w_(feats)
-            h, w = h * 2, w * 2
-            layers.append(
-                _Layer("up", ("decoder", name), True, False, (ih, iw, ic),
-                       (h, w, f), 2.0 * h * w * ic * f)
-            )
-        else:
-            f = 2 if kind == "last" else w_(feats)
-            layers.append(
-                _Layer("rconv", ("decoder", name), kind != "last", False,
-                       (ih, iw, ic), (h, w, f), 2.0 * h * w * 9 * ic * f)
-            )
-        c = f
+    t_shape = (h, w, c)
+    h, w, c = _decoder_ladder(layers, "decoder", h, w, c)
+    if with_phase_decoder:
+        layers.append(
+            _Layer("stash", ("stash",), False, False, (h, w, c), t_shape,
+                   float(np.prod(t_shape)))
+        )
+        h, w, c = t_shape
+        _decoder_ladder(layers, "decoder_ph", h, w, c)
     return layers
 
 
@@ -187,10 +208,15 @@ def _partition(chain: Sequence[_Layer], n_stages: int) -> List[List[_Layer]]:
 
 
 def pipeline_plan(
-    image_size: int, n_stages: int, width: float = 1.0
+    image_size: int,
+    n_stages: int,
+    width: float = 1.0,
+    with_phase_decoder: bool = False,
 ) -> List[List[str]]:
     """Human-readable stage assignment (layer names per stage)."""
-    stages = _partition(_build_chain(image_size, width), n_stages)
+    stages = _partition(
+        _build_chain(image_size, width, with_phase_decoder), n_stages
+    )
     return [["/".join(l.path) for l in st] for st in stages]
 
 
@@ -250,6 +276,8 @@ def _layer_leaf_shapes(layer: _Layer, width: float) -> List[Tuple[Tuple[str, ...
             out.append(((name, "kernel"), (i, o)))
             out.append(((name, "bias"), (o,)))
         return out
+    if layer.kind == "stash":
+        return []
     raise ValueError(layer.kind)
 
 
@@ -272,8 +300,9 @@ def _pack_stage_params(
         offs: List[Tuple[int, Tuple[int, ...]]] = []
         pos = 0
         for layer in stage:
-            base = _get_path(p, layer.path)
-            for rel, shape in _layer_leaf_shapes(layer, width):
+            leaf_shapes = _layer_leaf_shapes(layer, width)
+            base = _get_path(p, layer.path) if leaf_shapes else None
+            for rel, shape in leaf_shapes:
                 leaf = jnp.asarray(_get_path(base, rel), jnp.float32)
                 if tuple(leaf.shape) != shape:
                     raise ValueError(
@@ -283,7 +312,9 @@ def _pack_stage_params(
                 parts.append(leaf.reshape(-1))
                 offs.append((pos, shape))
                 pos += leaf.size
-        vecs.append(jnp.concatenate(parts))
+        # A stage may hold only zero-param ops (the 'stash' rewind): keep a
+        # 1-element placeholder so the packed stack stays rectangular.
+        vecs.append(jnp.concatenate(parts) if parts else jnp.zeros((1,)))
         offsets.append(offs)
     pmax = max(v.size for v in vecs)
     packed = jnp.stack(
@@ -292,33 +323,90 @@ def _pack_stage_params(
     return packed, offsets
 
 
-def _boundary_size(shape: Tuple[int, int, int], has_d: bool) -> int:
-    h, w, c = shape
-    return h * w * c + (1 if has_d else 0)
+@dataclasses.dataclass(frozen=True)
+class _Boundary:
+    """Static layout of one stage-boundary flat buffer, in lane order
+    ``x | d | t | feat | g | stats``.
+
+    * ``x`` — the running activation (always present).
+    * ``d`` — distance-head prediction lane (after the adain op).
+    * ``t`` — the AdaIN mixture, carried when a later stage needs it: the
+      decoder_ph rewind ('stash'), or the training loss (content target,
+      net.py:193).
+    * ``feat`` — the pre-AdaIN relu4_1 features (training: the re-encode
+      pass's content-loss operand).
+    * ``g`` — the main decoder's parked output while decoder_ph runs.
+    * ``stats`` — per-sample (mu, sigma) of the four encoder taps
+      (training: style-loss operands, net.py:195-198).
+    """
+
+    x: Tuple[int, int, int]
+    d: bool = False
+    t: Optional[Tuple[int, int, int]] = None
+    feat: Optional[Tuple[int, int, int]] = None
+    g: Optional[Tuple[int, int, int]] = None
+    stats: int = 0
+
+    def offsets(self) -> Tuple[Dict[str, Tuple[int, Tuple[int, ...]]], int]:
+        out: Dict[str, Tuple[int, Tuple[int, ...]]] = {}
+        pos = int(np.prod(self.x))
+        out["x"] = (0, tuple(self.x))
+        if self.d:
+            out["d"] = (pos, (1,))
+            pos += 1
+        for name in ("t", "feat", "g"):
+            shp = getattr(self, name)
+            if shp is not None:
+                out[name] = (pos, tuple(shp))
+                pos += int(np.prod(shp))
+        if self.stats:
+            out["stats"] = (pos, (self.stats,))
+            pos += self.stats
+        return out, pos
+
+    def size(self) -> int:
+        return self.offsets()[1]
+
+
+def _take_lane(buf: jax.Array, layout, name: str):
+    off, shp = layout[name]
+    n = int(np.prod(shp))
+    return buf[:, off : off + n].reshape((buf.shape[0],) + shp)
 
 
 def _make_stage_fn(
     stage: Sequence[_Layer],
     offs: Sequence[Tuple[int, Tuple[int, ...]]],
-    in_has_d: bool,
-    out_has_d: bool,
+    in_b: _Boundary,
+    out_b: _Boundary,
     amax: int,
-    alpha: float,
     width: float,
+    tap_info: Dict[str, Tuple[int, int]],
 ) -> Callable:
-    """Branch body for one stage: unpack flat buffers, run the layers,
-    repack. All shapes static; chosen at runtime by lax.switch."""
-    in_shape = stage[0].in_shape
-    out_shape = stage[-1].out_shape
+    """Branch body for one stage: unpack flat lane buffers, run the layers,
+    repack. All shapes static; chosen at runtime by lax.switch.
 
-    # Rebuild each layer's param tree from the flat vector at STATIC offsets.
+    ``tap_info`` maps encoder tap layer name -> (offset, channels) inside
+    the stats lane; empty outside training mode."""
     leaf_iter = list(offs)
+    in_layout, _ = in_b.offsets()
 
-    def fn(sp: jax.Array, buf: jax.Array, sm: jax.Array, ss: jax.Array):
+    def fn(sp: jax.Array, buf: jax.Array, sm: jax.Array, ss: jax.Array,
+           alpha: jax.Array):
         mb = buf.shape[0]
-        h, w, c = in_shape
-        x = buf[:, : h * w * c].reshape(mb, h, w, c)
-        d = buf[:, h * w * c : h * w * c + 1] if in_has_d else None
+        x = _take_lane(buf, in_layout, "x")
+        d = _take_lane(buf, in_layout, "d") if "d" in in_layout else None
+        t_val = _take_lane(buf, in_layout, "t") if "t" in in_layout else None
+        feat_val = (
+            _take_lane(buf, in_layout, "feat") if "feat" in in_layout else None
+        )
+        g_val = _take_lane(buf, in_layout, "g") if "g" in in_layout else None
+        if "stats" in in_layout:
+            stats_val = _take_lane(buf, in_layout, "stats")
+        elif out_b.stats:
+            stats_val = jnp.zeros((mb, out_b.stats), jnp.float32)
+        else:
+            stats_val = None
 
         li = 0
         for layer in stage:
@@ -338,20 +426,47 @@ def _make_stage_fn(
                 x = _conv(x, leaves["kernel"], leaves["bias"], "VALID")
             elif layer.kind == "rconv":
                 x = _apply_rconv(leaves, x, layer.relu)
+                if (
+                    stats_val is not None
+                    and layer.path[0] == "encoder"
+                    and layer.path[1] in tap_info
+                ):
+                    o, ch = tap_info[layer.path[1]]
+                    mean, std = calc_mean_std(x)
+                    stats_val = stats_val.at[:, o : o + ch].set(
+                        mean.reshape(mb, ch)
+                    )
+                    stats_val = stats_val.at[:, o + ch : o + 2 * ch].set(
+                        std.reshape(mb, ch)
+                    )
             elif layer.kind == "up":
                 x = _apply_up(leaves, x)
             elif layer.kind == "adain":
                 mean, std = calc_mean_std(x)
-                t = adain_with_stats(x, sm, ss)
-                x = alpha * t + (1.0 - alpha) * x
                 d = _apply_distance(leaves, mean, std)
+                feat_val = x
+                x = alpha * adain_with_stats(x, sm, ss) + (1.0 - alpha) * x
+                t_val = x
+            elif layer.kind == "stash":
+                # Park the main decoder's output, rewind to the AdaIN
+                # mixture for the decoder_ph ladder (net.py field_retrieval:
+                # both decoders consume the same t).
+                g_val = x
+                assert t_val is not None, "stash needs the t lane upstream"
+                x = t_val
             else:
                 raise ValueError(layer.kind)
 
-        out = x.reshape(mb, -1)
-        if out_has_d:
-            assert d is not None
-            out = jnp.concatenate([out, d], axis=-1)
+        parts = [x.reshape(mb, -1)]
+        for name, val in (
+            ("d", d), ("t", t_val), ("feat", feat_val), ("g", g_val),
+            ("stats", stats_val),
+        ):
+            want = getattr(out_b, name)
+            if want:
+                assert val is not None, f"stage must produce lane {name!r}"
+                parts.append(val.reshape(mb, -1))
+        out = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
         pad = amax - out.shape[-1]
         if pad:
             out = jnp.pad(out, ((0, 0), (0, pad)))
@@ -369,58 +484,98 @@ def _build_pipeline(
     alpha: float,
     width: float,
     axis: str,
+    train_taps: bool = False,
 ):
     """Shared pipeline construction: FLOP-balanced stages, packed per-stage
     params committed ``P(axis, None)``, and the shard_mapped GPipe forward
-    ``sharded(sp, x_nhwc, sm, ss) -> (g, d)``. Used by both the retrieval
-    fn and the fine-tune train step (the forward is one differentiable
-    program — scan/switch/ppermute/psum all carry transposes, so
-    ``jax.grad`` w.r.t. the packed array yields stage-local gradients)."""
+    ``sharded(sp, x_nhwc, sm, ss, alpha) -> (B, amax) flat lane buffers``.
+    Used by the retrieval fn and both train steps (the forward is one
+    differentiable program — scan/switch/ppermute/psum all carry transposes,
+    so ``jax.grad`` w.r.t. the packed array yields stage-local gradients).
+
+    ``train_taps`` adds the training lanes: per-sample (mu, sigma) of the
+    four encoder taps (style loss), the pre-AdaIN relu4_1 features (content
+    loss operand on the re-encode pass), and rides the AdaIN mixture ``t``
+    out (content-loss target). Checkpoints carrying ``decoder_ph`` get the
+    stash/rewind chain automatically (phase from the dedicated head).
+
+    ``alpha`` here is only the default recorded for callers; the sharded fn
+    takes alpha as a TRACED scalar so training passes can disable the AdaIN
+    mix (alpha=0 -> the decode of the raw style features, net.py:181)."""
+    del alpha  # traced at call time; kept in the signature for callers
     n_stages = int(mesh.shape[axis])
     p = params["params"] if "params" in params else params
-    if "decoder_ph" in p:
-        # The chain packs encoder/decoder/distance_g only; silently dropping
-        # a phase decoder would return decoder channel 1 as the phase while
-        # retrieval_step(net=...with_phase_decoder=True) routes decoder_ph —
-        # divergent numerics with no error.
-        raise NotImplementedError(
-            "pipeline retrieval does not support with_phase_decoder "
-            "checkpoints (params contain 'decoder_ph'); use the single-device "
-            "pipelines.retrieval_step"
-        )
-    chain = _build_chain(image_size, width)
+    with_phase = "decoder_ph" in p
+    chain = _build_chain(image_size, width, with_phase)
     stages = _partition(chain, n_stages)
     packed, offsets = _pack_stage_params(params, stages, width)
     packed = jax.device_put(packed, NamedSharding(mesh, P(axis, None)))
 
-    # Stage-boundary specs: the adain op contributes the distance lane to
-    # every later boundary.
-    adain_stage = next(
-        i for i, st in enumerate(stages) if any(l.kind == "adain" for l in st)
+    # Global layer positions of the lane-producing/consuming ops.
+    adain_idx = next(i for i, l in enumerate(chain) if l.kind == "adain")
+    stash_idx = next(
+        (i for i, l in enumerate(chain) if l.kind == "stash"), None
     )
-    in_has_d = [i > adain_stage for i in range(n_stages)]
-    out_has_d = [i >= adain_stage for i in range(n_stages)]
-    out_shape = stages[-1][-1].out_shape
-    amax = max(
-        max(
-            _boundary_size(st[0].in_shape, in_has_d[i])
-            for i, st in enumerate(stages)
-        ),
-        _boundary_size(out_shape, True),
-    )
+    t_shape = chain[adain_idx].out_shape
+    g_shape = chain[stash_idx].in_shape if stash_idx is not None else None
+
+    tap_info: Dict[str, Tuple[int, int]] = {}
+    stats_total = 0
+    if train_taps:
+        for l in chain:
+            if l.path[0] == "encoder" and l.path[1] in (
+                "conv1_1", "conv2_1", "conv3_1", "conv4_1",
+            ):
+                tap_info[l.path[1]] = (stats_total, l.out_shape[2])
+                stats_total += 2 * l.out_shape[2]
+
+    starts: List[int] = []
+    pos = 0
+    for st in stages:
+        starts.append(pos)
+        pos += len(st)
+    starts.append(len(chain))
+
+    def bound(pidx: int) -> _Boundary:
+        """Lane layout of the boundary BEFORE global layer index ``pidx``
+        (``pidx == len(chain)`` is the final output boundary)."""
+        x = chain[pidx].in_shape if pidx < len(chain) else chain[-1].out_shape
+        after_adain = pidx > adain_idx
+        keep_t = after_adain and (
+            train_taps or (stash_idx is not None and pidx <= stash_idx)
+        )
+        return _Boundary(
+            x=tuple(x),
+            d=after_adain,
+            t=tuple(t_shape) if keep_t else None,
+            feat=tuple(t_shape) if (train_taps and after_adain) else None,
+            g=(
+                tuple(g_shape)
+                if (stash_idx is not None and pidx > stash_idx)
+                else None
+            ),
+            stats=stats_total if (train_taps and pidx > 0) else 0,
+        )
+
+    in_bounds = [
+        _Boundary(x=tuple(chain[0].in_shape)) if i == 0 else bound(starts[i])
+        for i in range(n_stages)
+    ]
+    out_bounds = [bound(starts[i + 1]) for i in range(n_stages)]
+    final_b = out_bounds[-1]
+    amax = max(b.size() for b in in_bounds + out_bounds)
 
     branch_fns = [
         _make_stage_fn(
-            stages[i], offsets[i], in_has_d[i], out_has_d[i], amax, alpha,
-            width,
+            stages[i], offsets[i], in_bounds[i], out_bounds[i], amax, width,
+            tap_info,
         )
         for i in range(n_stages)
     ]
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
     h0, w0, c0 = chain[0].in_shape
-    oh, ow, oc = out_shape
 
-    def local_fn(sp, x, sm, ss):
+    def local_fn(sp, x, sm, ss, alpha):
         """Per-device GPipe schedule (inside shard_map over ``axis``)."""
         sp = sp[0]
         stage = jax.lax.axis_index(axis)
@@ -428,12 +583,22 @@ def _build_pipeline(
         mb = batch // n_micro
         xs = x.reshape(n_micro, mb, h0, w0, c0)
         in_flat = h0 * w0 * c0
+        # Per-sample style statistics (training: t = adain(f_c, stats(f_s)),
+        # net.py:178) ride microbatch-aligned; broadcast vectors stay whole.
+        per_sample = sm.shape[0] == batch and batch > 1
+        if per_sample:
+            sm_r = sm.reshape((n_micro, mb) + sm.shape[1:])
+            ss_r = ss.reshape((n_micro, mb) + ss.shape[1:])
 
         def tick(act, t):
-            x_t = xs[jnp.minimum(t, n_micro - 1)].reshape(mb, in_flat)
+            # Device ``stage`` works on microbatch ``t - stage`` at tick t.
+            mbi = jnp.clip(t - stage, 0, n_micro - 1)
+            x_t = xs[mbi].reshape(mb, in_flat)
             in0 = jnp.pad(x_t, ((0, 0), (0, amax - in_flat)))
             inp = jnp.where(stage == 0, in0, act)
-            y = jax.lax.switch(stage, branch_fns, sp, inp, sm, ss)
+            sm_t = sm_r[mbi] if per_sample else sm
+            ss_t = ss_r[mbi] if per_sample else ss
+            y = jax.lax.switch(stage, branch_fns, sp, inp, sm_t, ss_t, alpha)
             nxt = jax.lax.ppermute(y, axis, perm)
             out = jax.lax.psum(
                 jnp.where(stage == n_stages - 1, y, jnp.zeros_like(y)), axis
@@ -442,19 +607,24 @@ def _build_pipeline(
 
         act0 = jnp.zeros((mb, amax), jnp.float32)
         _, outs = jax.lax.scan(tick, act0, jnp.arange(n_micro + n_stages - 1))
-        outs = outs[n_stages - 1 :].reshape(batch, amax)
-        g = outs[:, : oh * ow * oc].reshape(batch, oh, ow, oc)
-        d = outs[:, oh * ow * oc : oh * ow * oc + 1]
-        return g, d
+        return outs[n_stages - 1 :].reshape(batch, amax)
 
     sharded = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(axis, None), P(), P(), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(axis, None), P(), P(), P(), P()),
+        out_specs=P(),
         check_vma=False,
     )
-    return packed, sharded, stages
+    info = {
+        "out_boundary": final_b,
+        "out_layout": final_b.offsets()[0],
+        "has_phase": with_phase,
+        "tap_info": tap_info,
+        "stats_total": stats_total,
+        "c4": t_shape[2],
+    }
+    return packed, sharded, stages, info
 
 
 def make_pipeline_retrieval_fn(
@@ -487,18 +657,28 @@ def make_pipeline_retrieval_fn(
     The packed per-stage params are committed to the mesh once,
     ``P(axis, None)``-sharded — each device holds only its stage.
     """
-    packed, sharded, stages = _build_pipeline(
+    packed, sharded, stages, info = _build_pipeline(
         params, mesh, n_micro=n_micro, image_size=image_size, alpha=alpha,
         width=width, axis=axis,
     )
+    layout = info["out_layout"]
 
     @functools.partial(jax.jit, static_argnums=(4,))
     def step(sp, content_holo, sm, ss, d_style):
         content = jnp.sqrt(jnp.asarray(content_holo, jnp.float32))
         x = jnp.transpose(content, (0, 2, 3, 1))
-        g, d = sharded(sp, x, sm, ss)
-        amp = jnp.transpose(g[..., 0:1], (0, 3, 1, 2))
-        ph = jnp.transpose(g[..., 1:2], (0, 3, 1, 2))
+        outs = sharded(sp, x, sm, ss, jnp.float32(alpha))
+        xo = _take_lane(outs, layout, "x")
+        d = _take_lane(outs, layout, "d")
+        if info["has_phase"]:
+            # x lane = decoder_ph output (phase from channel 0, net.py:152);
+            # the main decoder's amp/phase sit parked in the g lane.
+            g = _take_lane(outs, layout, "g")
+            amp = jnp.transpose(g[..., 0:1], (0, 3, 1, 2))
+            ph = jnp.transpose(xo[..., 0:1], (0, 3, 1, 2))
+        else:
+            amp = jnp.transpose(xo[..., 0:1], (0, 3, 1, 2))
+            ph = jnp.transpose(xo[..., 1:2], (0, 3, 1, 2))
         result = {
             "amp_field": amp,
             "ph_field": ph,
@@ -570,14 +750,13 @@ def make_pipeline_finetune_fn(
     optimizer collectives, true pipeline memory scaling for params + both
     moments.
 
-    Scope (stated honestly): the objective is the *retrieval-path*
-    supervised loss at a FIXED style vector — style-plane field supervision
-    (the targets are propagated from known objects through the same
-    physics, as in `train.loop.generator_loss_fn`'s supervised term) plus
-    distance regression. The full multi-loss scheme (per-batch style
-    features, physics cycle, adversarial) stays with the DP/FSDP/TP train
-    step; this is the fine-tune/distillation mode for width tiers whose
-    params + moments exceed a chip even channel-sharded.
+    Scope: the objective is the *retrieval-path* supervised loss at a FIXED
+    style vector — style-plane field supervision (the targets are propagated
+    from known objects through the same physics, as in
+    `train.loop.generator_loss_fn`'s supervised term) plus distance
+    regression — the cheap fine-tune/distillation mode. The FULL multi-loss
+    scheme (per-batch style features, content/style losses, physics cycle,
+    adversarial) is ``make_pipeline_train_fn``.
 
     Returns ``(step_fn, state0)``; ``state0 = (packed, m, v, t)`` and
     ``step_fn(state, batch, sm, ss) -> (state, metrics)`` with ``batch``
@@ -588,15 +767,22 @@ def make_pipeline_finetune_fn(
         distance_loss,
     )
 
-    packed, sharded, _stages = _build_pipeline(
+    packed, sharded, _stages, info = _build_pipeline(
         params, mesh, n_micro=n_micro, image_size=image_size, alpha=alpha,
         width=width, axis=axis,
     )
+    layout = info["out_layout"]
 
     def loss_fn(sp, batch, sm, ss):
         x = jnp.transpose(batch["content_holo"], (0, 2, 3, 1))
-        g, d_pred = sharded(sp, x, sm, ss)
-        amp, ph = g[..., 0:1], g[..., 1:2]
+        outs = sharded(sp, x, sm, ss, jnp.float32(alpha))
+        xo = _take_lane(outs, layout, "x")
+        d_pred = _take_lane(outs, layout, "d")
+        if info["has_phase"]:
+            amp = _take_lane(outs, layout, "g")[..., 0:1]
+            ph = xo[..., 0:1]
+        else:
+            amp, ph = xo[..., 0:1], xo[..., 1:2]
         # Style-plane ground truth from the known object (stop-gradient
         # physics), exactly the supervised term of generator_loss_fn.
         gt_amp, gt_ph = holo_forward(
@@ -640,5 +826,236 @@ def make_pipeline_finetune_fn(
         jnp.zeros_like(packed),
         jnp.zeros_like(packed),
         jnp.zeros((), jnp.float32),
+    )
+    return step_fn, state0
+
+
+def make_pipeline_train_fn(
+    params,
+    mesh: Mesh,
+    *,
+    n_micro: int,
+    image_size: int,
+    physics: PhysicsConfig,
+    cfg,
+    lr: Optional[float] = None,
+    alpha: float = 1.0,
+    width: float = 1.0,
+    axis: str = PIPE_AXIS,
+    disc=None,
+    disc_params=None,
+):
+    """Pipeline-parallel FULL training step: the reconstructed reference
+    scheme (SURVEY §3.3 — content + style + physics cycle + distance
+    [+ supervised] [+ adversarial]) through the GPipe schedule.
+
+    Three passes through the ONE pipelined program per step (every pass
+    differentiates into the same packed per-stage params):
+
+      1. style pass  — alpha=0 disables the AdaIN mix, so the chain encodes
+         the style holograms, taps per-sample (mu, sigma) at
+         relu1_1..relu4_1 into the stats lane (style-loss targets,
+         net.py:195-198) and predicts d_style from the feature stats.
+      2. content pass — the relu4_1 segment of the style stats feeds AdaIN
+         per-sample (t = adain(f_c, stats(f_s)), net.py:178); outputs g_t
+         (+ decoder_ph phase when present), d_content, and rides t out
+         (content-loss target).
+      3. re-encode pass — g_t's amplitude goes back through the pipeline;
+         the pre-AdaIN feat lane is enc(g_t) at relu4_1 (content loss,
+         net.py:193) and its stats lane the style-loss operands.
+
+    The physics cycle, distance and supervised terms are computed on the
+    replicated outputs exactly as in ``train.loop.generator_loss_fn``.
+    The optional LSGAN discriminator (tiny vs the generator) runs
+    replicated outside the pipeline, with its own Adam state — pass
+    ``disc``/``disc_params`` and set ``cfg.adv_weight``.
+
+    ``cfg`` is a ``TrainConfig`` (weights + lr are read from it unless
+    ``lr`` overrides). Returns ``(step_fn, state0)`` with
+    ``state0 = (packed, m, v, t, disc_params, disc_m, disc_v)`` and
+    ``step_fn(state, batch) -> (state, metrics)``; ``batch`` is the
+    `data.synth.synth_batch` dict (NCHW), with GT fields when
+    ``cfg.supervised_weight``.
+
+    Cost note: passes 1 and 3 only need the encoder but run the full chain
+    (their decoder ticks are wasted FLOPs, ~1.5x a minimal schedule) — the
+    price of keeping ONE packed program so all three passes share weights
+    and gradient plumbing.
+    """
+    from style_transfer_based_holographic_imaging_tpu.train.losses import (
+        distance_loss,
+        lsgan_d_loss,
+        lsgan_g_loss,
+        physics_cycle_loss,
+        tv_loss,
+    )
+    from style_transfer_based_holographic_imaging_tpu.ops import holo_forward
+
+    lr = float(cfg.lr if lr is None else lr)
+    packed, sharded, _stages, info = _build_pipeline(
+        params, mesh, n_micro=n_micro, image_size=image_size, alpha=alpha,
+        width=width, axis=axis, train_taps=True,
+    )
+    layout = info["out_layout"]
+    tap_info = info["tap_info"]
+    c4 = info["c4"]
+    s4 = tap_info["conv4_1"][0]
+    has_phase = info["has_phase"]
+    use_adv = bool(cfg.adv_weight) and disc is not None
+
+    def _amp_ph(outs):
+        xo = _take_lane(outs, layout, "x")
+        if has_phase:
+            return _take_lane(outs, layout, "g")[..., 0:1], xo[..., 0:1]
+        return xo[..., 0:1], xo[..., 1:2]
+
+    def loss_fn(sp, dp, batch):
+        content = jnp.transpose(batch["content_holo"], (0, 2, 3, 1))
+        style = jnp.transpose(batch["style_holo"], (0, 2, 3, 1))
+        b = content.shape[0]
+        sm0 = jnp.zeros((1, 1, 1, c4), jnp.float32)
+        ss0 = jnp.ones((1, 1, 1, c4), jnp.float32)
+
+        # pass 1: style encode (alpha=0 -> no AdaIN mix)
+        outs_s = sharded(sp, style, sm0, ss0, jnp.float32(0.0))
+        stats_s = _take_lane(outs_s, layout, "stats")
+        d_s_pred = _take_lane(outs_s, layout, "d")
+        sm_b = stats_s[:, s4 : s4 + c4].reshape(b, 1, 1, c4)
+        ss_b = stats_s[:, s4 + c4 : s4 + 2 * c4].reshape(b, 1, 1, c4)
+
+        # pass 2: content retrieval with per-sample style stats
+        outs_c = sharded(sp, content, sm_b, ss_b, jnp.float32(alpha))
+        amp_t, ph_t = _amp_ph(outs_c)
+        d_c_pred = _take_lane(outs_c, layout, "d")
+        t_mix = _take_lane(outs_c, layout, "t")
+
+        # pass 3: re-encode g_t (its amplitude, net.py:183/186)
+        outs_g = sharded(sp, amp_t, sm0, ss0, jnp.float32(0.0))
+        feat_g = _take_lane(outs_g, layout, "feat")
+        stats_g = _take_lane(outs_g, layout, "stats")
+
+        loss_c = jnp.mean((feat_g - jax.lax.stop_gradient(t_mix)) ** 2)
+        loss_s = jnp.float32(0.0)
+        sg_stats_s = jax.lax.stop_gradient(stats_s)
+        for off, ch in tap_info.values():
+            loss_s = loss_s + jnp.mean(
+                (stats_g[:, off : off + ch] - sg_stats_s[:, off : off + ch])
+                ** 2
+            )
+            loss_s = loss_s + jnp.mean(
+                (
+                    stats_g[:, off + ch : off + 2 * ch]
+                    - sg_stats_s[:, off + ch : off + 2 * ch]
+                )
+                ** 2
+            )
+
+        loss = cfg.content_weight * loss_c + cfg.style_weight * loss_s
+        aux = {"loss_content": loss_c, "loss_style": loss_s}
+
+        amp_n = jnp.transpose(amp_t, (0, 3, 1, 2))
+        ph_n = jnp.transpose(ph_t, (0, 3, 1, 2))
+        if cfg.physics_weight:
+            l_phy = physics_cycle_loss(
+                amp_n,
+                ph_n,
+                d_c_pred.reshape(-1, 1, 1, 1),
+                batch["distance_style"],
+                batch["content_holo"],
+                physics,
+            )
+            loss = loss + cfg.physics_weight * l_phy
+            aux["loss_physics"] = l_phy
+        if cfg.distance_weight:
+            l_d = distance_loss(d_s_pred, batch["distance_style"]) + (
+                distance_loss(d_c_pred, batch["distance_content"])
+            )
+            loss = loss + cfg.distance_weight * l_d
+            aux["loss_distance"] = l_d
+        if cfg.supervised_weight and "phase_content" in batch:
+            gt_amp, gt_ph = holo_forward(
+                batch["amplitude"],
+                batch["phase_content"],
+                batch["distance_style"],
+                physics,
+                return_field=True,
+                asm_backend="xla",
+            )
+            gt_amp = jax.lax.stop_gradient(jnp.transpose(gt_amp, (0, 2, 3, 1)))
+            gt_ph = jax.lax.stop_gradient(
+                jnp.transpose(gt_ph, (0, 2, 3, 1)) / physics.phase_normalize
+            )
+            l_sup = jnp.mean((amp_t - gt_amp) ** 2) + jnp.mean(
+                (ph_t - gt_ph) ** 2
+            )
+            loss = loss + cfg.supervised_weight * l_sup
+            aux["loss_supervised"] = l_sup
+        if cfg.tv_weight:
+            l_tv = tv_loss(ph_n)
+            loss = loss + cfg.tv_weight * l_tv
+            aux["loss_tv"] = l_tv
+        if use_adv:
+            fake_logits, _ = disc.apply(dp, amp_t)
+            l_adv = lsgan_g_loss(fake_logits)
+            loss = loss + cfg.adv_weight * l_adv
+            aux["loss_adv"] = l_adv
+
+        aux["loss_total"] = loss
+        aux["g_t"] = amp_t
+        return loss, aux
+
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state, batch):
+        sp, m, v, t, dp, dm, dv = state
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            sp, dp, batch
+        )
+        t = t + 1
+        m = b1 * m + (1.0 - b1) * grads
+        v = b2 * v + (1.0 - b2) * grads * grads
+        mhat = m / (1.0 - b1 ** t)
+        vhat = v / (1.0 - b2 ** t)
+        sp = sp - lr * mhat / (jnp.sqrt(vhat) + eps)
+
+        if use_adv:
+            fake = jax.lax.stop_gradient(aux.pop("g_t"))
+            real = jnp.transpose(batch["style_holo"], (0, 2, 3, 1))
+
+            def d_loss_fn(p):
+                real_logits, _ = disc.apply(p, real)
+                fake_logits, _ = disc.apply(p, fake)
+                return lsgan_d_loss(real_logits, fake_logits)
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(dp)
+            dm = jax.tree.map(lambda a, g: b1 * a + (1 - b1) * g, dm, d_grads)
+            dv = jax.tree.map(
+                lambda a, g: b2 * a + (1 - b2) * g * g, dv, d_grads
+            )
+            dp = jax.tree.map(
+                lambda p_, a, b_: p_
+                - lr * (a / (1.0 - b1 ** t)) / (
+                    jnp.sqrt(b_ / (1.0 - b2 ** t)) + eps
+                ),
+                dp,
+                dm,
+                dv,
+            )
+            aux["loss_disc"] = d_loss
+        else:
+            aux.pop("g_t", None)
+        return (sp, m, v, t, dp, dm, dv), aux
+
+    if disc_params is None:
+        disc_params = {}
+    state0 = (
+        packed,
+        jnp.zeros_like(packed),
+        jnp.zeros_like(packed),
+        jnp.zeros((), jnp.float32),
+        disc_params,
+        jax.tree.map(jnp.zeros_like, disc_params),
+        jax.tree.map(jnp.zeros_like, disc_params),
     )
     return step_fn, state0

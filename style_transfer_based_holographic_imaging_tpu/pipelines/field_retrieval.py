@@ -83,12 +83,6 @@ def retrieval_step(
     content_nhwc = jnp.transpose(content, (0, 2, 3, 1))
 
     if quant_scales is not None:
-        if net.with_phase_decoder:
-            raise NotImplementedError(
-                "the int8 serving path does not cover decoder_ph checkpoints "
-                "(quant_retrieval_forward decodes phase from the main "
-                "decoder) — serve them with quant_scales=None"
-            )
         from style_transfer_based_holographic_imaging_tpu.models.quant import (
             quant_retrieval_forward,
         )

@@ -51,6 +51,9 @@ _SLOW_TESTS = {
     "test_loss_decreases_over_steps",           # 44s
     "test_pipeline_retrieval_matches_single_device",       # 42s
     "test_pipeline_finetune_trains_and_matches_single_device",  # 161s
+    "test_pipeline_retrieval_phase_decoder_matches_single_device",  # 93s
+    "test_pipeline_full_train_matches_dp_loss",  # 150s
+    "test_pipeline_full_train_adversarial_smoke",  # 225s
     "test_remat_step_matches_plain",            # 42s
     "test_train_step_half_width",               # 37s
     "test_quant_path_with_fused_stacks",        # 31s

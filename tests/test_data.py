@@ -352,3 +352,33 @@ def test_prefetch_releases_producer_on_early_exit():
     while threading.active_count() > n_before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= n_before
+
+
+def test_load_digit_bank_formats(tmp_path):
+    """The offline-MNIST drop-in accepts both the repo's {'bank'} layout and
+    standard MNIST .npz exports (x_train 28x28 uint8), normalizing both to
+    (N, 64, 64) float32 in [0, 1]."""
+    import numpy as np
+
+    from style_transfer_based_holographic_imaging_tpu.data.synth import (
+        load_digit_bank,
+    )
+
+    rng = np.random.default_rng(0)
+    p1 = tmp_path / "bank.npz"
+    np.savez(p1, bank=rng.random((3, 64, 64)).astype(np.float32))
+    b1 = load_digit_bank(str(p1))
+    assert b1.shape == (3, 64, 64) and b1.dtype == np.float32
+
+    p2 = tmp_path / "mnist.npz"
+    np.savez(p2, x_train=(rng.random((5, 28, 28)) * 255).astype(np.uint8))
+    b2 = load_digit_bank(str(p2))
+    assert b2.shape == (5, 64, 64)
+    assert 0.0 <= b2.min() and b2.max() <= 1.0
+
+    p3 = tmp_path / "bad.npz"
+    np.savez(p3, something=np.zeros((2, 2)))
+    import pytest
+
+    with pytest.raises(ValueError):
+        load_digit_bank(str(p3))

@@ -608,3 +608,144 @@ def test_checkpoint_roundtrip_sharded_state(tmp_path):
         )
     )
     assert diff == 0.0, diff
+
+
+def test_pipeline_retrieval_phase_decoder_matches_single_device():
+    """decoder_ph checkpoints pipeline too (round-2 verdict gap): the chain
+    grows a stash/rewind op plus the decoder_ph ladder, and phase must come
+    from the dedicated head (net.py:152) — parity vs the single-device
+    retrieval_step, which routes decoder_ph automatically."""
+    from jax.sharding import Mesh
+
+    from style_transfer_based_holographic_imaging_tpu.parallel.pp import (
+        make_pipeline_retrieval_fn,
+    )
+    from style_transfer_based_holographic_imaging_tpu.pipelines import (
+        retrieval_step,
+    )
+
+    params = init_net_params(
+        jax.random.key(0), image_size=32, with_phase_decoder=True
+    )
+    rng = np.random.default_rng(0)
+    holo = jnp.asarray(rng.uniform(0.1, 1.0, (8, 1, 32, 32)).astype(np.float32))
+    sm = jnp.asarray(rng.normal(size=(1, 1, 1, 512)).astype(np.float32))
+    ss = jnp.asarray(rng.uniform(0.5, 1.5, (1, 1, 1, 512)).astype(np.float32))
+
+    single = retrieval_step(params, holo, sm, ss, 0.2, PHYSICS)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("pipe",))
+    fn = make_pipeline_retrieval_fn(
+        params, mesh, n_micro=4, image_size=32, physics=PHYSICS
+    )
+    flat = [name for st in fn.stages for name in st]
+    assert "decoder_ph/conv10" in flat and "stash" in flat
+    out = fn(holo, sm, ss, 0.2)
+    for key, atol in (
+        ("amp_field", 1e-5),
+        ("ph_field", 1e-5),
+        ("distance_pred", 1e-5),
+        ("amp_foc", 1e-5),
+        ("ph_foc", 2e-3),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), np.asarray(single[key]), atol=atol,
+            err_msg=key,
+        )
+
+
+def test_pipeline_full_train_matches_dp_loss():
+    """make_pipeline_train_fn runs the FULL reconstructed training scheme
+    (content + style + physics + distance + supervised) through the GPipe
+    schedule: its step-0 loss must equal the DP generator_loss_fn on the
+    same params/batch, and a few steps must reduce it."""
+    from jax.sharding import Mesh
+
+    from style_transfer_based_holographic_imaging_tpu.parallel.pp import (
+        make_pipeline_train_fn,
+    )
+    from style_transfer_based_holographic_imaging_tpu.train.loop import (
+        generator_loss_fn,
+    )
+
+    data = dataclasses.replace(DATA8, batch_size=4, image_size=32, digit_pad=8)
+    bank = sklearn_digit_bank(16)[:16]
+    batch = synth_batch(
+        jax.random.key(0), jnp.asarray(bank), data=data, physics=PHYSICS,
+        return_gt=True,
+    )
+    params = init_net_params(jax.random.key(0), image_size=32)
+    cfg = TrainConfig(
+        content_weight=1.0, style_weight=1.0, physics_weight=10.0,
+        distance_weight=20.0, supervised_weight=10.0, adv_weight=0.0,
+    )
+
+    net = StyleTransferNet()
+    # Jit the reference loss: eagerly, holo_forward static-hoists the
+    # concrete propagation distances (host-precision trig) and diverges at
+    # the 1e-4 level from any jitted program's dynamic path — both train
+    # steps are jitted in practice, so compare like with like.
+    import functools as _ft
+
+    loss_ref, aux_ref = jax.jit(
+        _ft.partial(generator_loss_fn, net=net, physics=PHYSICS, cfg=cfg)
+    )(params, batch, jax.random.key(1))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("pipe",))
+    step_fn, state = make_pipeline_train_fn(
+        params, mesh, n_micro=2, image_size=32, physics=PHYSICS, cfg=cfg,
+        lr=1e-4,
+    )
+    state1, aux = step_fn(state, batch)
+    for k in ("loss_content", "loss_style", "loss_physics", "loss_distance",
+              "loss_supervised", "loss_total"):
+        a = float(jax.device_get(aux[k]))
+        r = float(jax.device_get(aux_ref[k]))
+        assert abs(a - r) < 1e-4 + 1e-4 * abs(r), (k, a, r)
+
+    losses = [float(jax.device_get(aux["loss_total"]))]
+    st = state1
+    for _ in range(3):
+        st, aux = step_fn(st, batch)
+        losses.append(float(jax.device_get(aux["loss_total"])))
+    assert losses[-1] < losses[0]
+
+
+def test_pipeline_full_train_adversarial_smoke():
+    """The adversarial term + discriminator Adam update run through the PP
+    step (replicated D, pipelined G)."""
+    from jax.sharding import Mesh
+
+    from style_transfer_based_holographic_imaging_tpu.models import (
+        PatchDiscriminator,
+    )
+    from style_transfer_based_holographic_imaging_tpu.parallel.pp import (
+        make_pipeline_train_fn,
+    )
+
+    data = dataclasses.replace(DATA8, batch_size=4, image_size=32, digit_pad=8)
+    bank = sklearn_digit_bank(16)[:16]
+    batch = synth_batch(
+        jax.random.key(0), jnp.asarray(bank), data=data, physics=PHYSICS,
+        return_gt=True,
+    )
+    params = init_net_params(jax.random.key(0), image_size=32)
+    disc = PatchDiscriminator(image_size=32, repeat_num=4)
+    disc_params = disc.init(jax.random.key(2), jnp.ones((1, 32, 32, 1)))
+    # step_fn donates its state (incl. these arrays); keep a host copy.
+    disc_leaf0 = np.asarray(jax.tree_util.tree_leaves(disc_params)[0])
+    cfg = TrainConfig(
+        content_weight=1.0, style_weight=1.0, physics_weight=10.0,
+        distance_weight=20.0, supervised_weight=0.0, adv_weight=1.0,
+    )
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("pipe",))
+    step_fn, state = make_pipeline_train_fn(
+        params, mesh, n_micro=2, image_size=32, physics=PHYSICS, cfg=cfg,
+        lr=1e-4, disc=disc, disc_params=disc_params,
+    )
+    st, aux = step_fn(state, batch)
+    assert np.isfinite(float(jax.device_get(aux["loss_adv"])))
+    assert np.isfinite(float(jax.device_get(aux["loss_disc"])))
+    # D params actually moved
+    l1 = np.asarray(jax.tree_util.tree_leaves(st[4])[0])
+    assert float(np.max(np.abs(disc_leaf0 - l1))) > 0.0

@@ -104,3 +104,67 @@ def test_pipeline_quant_integration():
     out = fn(params, holo, sm, ss, d_style)
     for k in ("amp_field", "ph_field", "amp_foc", "ph_foc", "distance_pred"):
         assert np.all(np.isfinite(np.asarray(out[k]))), k
+
+
+def test_int8_phase_decoder_parity():
+    """decoder_ph checkpoints run int8 too (round-2 verdict gap): the
+    quant path must route phase through the dedicated head (channel 0,
+    mirroring StyleTransferNet.field_retrieval with_phase_decoder) and
+    calibrate its ladder under the "decoder_ph." namespace."""
+    params = init_net_params(
+        jax.random.PRNGKey(0), image_size=SIZE, width=WIDTH,
+        with_phase_decoder=True,
+    )
+    rng = np.random.default_rng(1)
+    content = jnp.asarray(rng.random((2, SIZE, SIZE, 1), np.float32) * 0.8)
+    c = params["params"]["encoder"]["conv4_1"]["bias"].shape[0]
+    sm = jnp.asarray(rng.standard_normal((1, 1, 1, c), np.float32))
+    ss = jnp.asarray(rng.random((1, 1, 1, c), np.float32) + 0.5)
+
+    net = StyleTransferNet(width=WIDTH, with_phase_decoder=True)
+    amp0, ph0, d0 = net.apply(
+        params, content, sm, ss, 1.0, unknown_distance=True,
+        method=StyleTransferNet.field_retrieval,
+    )
+
+    # fp fallback: op-for-op
+    amp1, ph1, d1 = quant_retrieval_forward(
+        params, content, sm, ss, scales=None, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(ph0), np.asarray(ph1), atol=1e-5)
+
+    # int8: calibration must observe the phase-decoder ladder
+    scales = calibrate_scales(params, [content], sm, ss, compute_dtype=jnp.float32)
+    assert any(k.startswith("decoder_ph.") for k in scales)
+    amp2, ph2, d2 = quant_retrieval_forward(
+        params, content, sm, ss, scales=scales, compute_dtype=jnp.float32
+    )
+    scale = float(jnp.max(jnp.abs(ph0)))
+    assert float(jnp.max(jnp.abs(ph0 - ph2))) < 0.15 * scale + 0.05
+    scale = float(jnp.max(jnp.abs(amp0)))
+    assert float(jnp.max(jnp.abs(amp0 - amp2))) < 0.15 * scale + 0.05
+
+
+def test_pipeline_quant_phase_decoder_integration():
+    """make_retrieval_fn(quant_scales=...) no longer rejects decoder_ph."""
+    from style_transfer_based_holographic_imaging_tpu.config import PhysicsConfig
+    from style_transfer_based_holographic_imaging_tpu.pipelines.field_retrieval import (
+        make_retrieval_fn,
+    )
+
+    params = init_net_params(
+        jax.random.PRNGKey(0), image_size=SIZE, width=WIDTH,
+        with_phase_decoder=True,
+    )
+    rng = np.random.default_rng(1)
+    content = jnp.asarray(rng.random((2, SIZE, SIZE, 1), np.float32) * 0.8)
+    c = params["params"]["encoder"]["conv4_1"]["bias"].shape[0]
+    sm = jnp.asarray(rng.standard_normal((1, 1, 1, c), np.float32))
+    ss = jnp.asarray(rng.random((1, 1, 1, c), np.float32) + 0.5)
+    scales = calibrate_scales(params, [content], sm, ss, compute_dtype=jnp.float32)
+    fn = make_retrieval_fn(PhysicsConfig(), quant_scales=scales, dtype=jnp.float32)
+    holo = jnp.transpose(content**2, (0, 3, 1, 2))
+    d_style = jnp.full((content.shape[0], 1, 1, 1), 0.2, jnp.float32)
+    out = fn(params, holo, sm, ss, d_style)
+    for k in ("amp_field", "ph_field", "amp_foc", "ph_foc", "distance_pred"):
+        assert np.all(np.isfinite(np.asarray(out[k]))), k
