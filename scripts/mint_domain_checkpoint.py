@@ -49,6 +49,20 @@ def main():
     ap.add_argument("--style-weight", type=float, default=0.1)
     ap.add_argument("--content-weight", type=float, default=0.1)
     ap.add_argument("--distance-weight", type=float, default=20.0)
+    ap.add_argument("--adv-weight", type=float, default=0.0,
+                    help="LSGAN adversarial term (PatchGAN D attached when "
+                         "> 0) — use with --init-from + a reduced lr for the "
+                         "composed augment+adversarial fine-tune recipe")
+    ap.add_argument("--rotate-deg", type=float, default=0.0,
+                    help="shape-diversity augmentation: per-sample rotation "
+                         "(+/- deg) of the synthetic objects")
+    ap.add_argument("--elastic-px", type=float, default=0.0,
+                    help="shape-diversity augmentation: elastic-warp "
+                         "displacement amplitude in pixels")
+    ap.add_argument("--init-from", type=str, default=None,
+                    help="resume params from another run's newest iter_* "
+                         "snapshot (fine-tune mode: schedule spans only this "
+                         "run's iterations)")
     ap.add_argument("--bank-size", type=int, default=2048)
     ap.add_argument("--bank-seed", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
@@ -108,7 +122,8 @@ def main():
         model=ModelConfig(width=args.width, dtype=args.dtype),
         physics=preset.physics,
         data=dataclasses.replace(
-            preset.data, batch_size=args.batch_size, seed=args.seed
+            preset.data, batch_size=args.batch_size, seed=args.seed,
+            rotate_deg=args.rotate_deg, elastic_px=args.elastic_px,
         ),
         train=TrainConfig(
             iterations=args.iterations,
@@ -122,6 +137,7 @@ def main():
             style_weight=args.style_weight,
             content_weight=args.content_weight,
             distance_weight=args.distance_weight,
+            adv_weight=args.adv_weight,
             log_every=200,
         ),
     )
@@ -130,9 +146,41 @@ def main():
     with open(os.path.join(args.out, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
+    state = None
+    if args.init_from:
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+
+        from style_transfer_based_holographic_imaging_tpu.models import (
+            PatchDiscriminator,
+        )
+        from style_transfer_based_holographic_imaging_tpu.train import (
+            create_train_state,
+            latest_snapshot,
+        )
+
+        src = latest_snapshot(args.init_from)
+        if src is None:
+            raise SystemExit(f"no iter_* snapshot under {args.init_from}")
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(src))
+        disc_params = None
+        if args.adv_weight:
+            disc = PatchDiscriminator(image_size=cfg.data.image_size)
+            disc_params = disc.init(
+                jax.random.key(args.seed + 1),
+                jnp.ones((1, cfg.data.image_size, cfg.data.image_size, 1)),
+            )
+        # Snapshot "params" is the full flax variables dict (state.params),
+        # exactly what create_train_state expects.
+        state = create_train_state(
+            restored["params"], cfg.train, disc_params=disc_params
+        )
+        print(f"init from {src}", flush=True)
+
     t0 = time.time()
     train_bank = make_bank(n=args.bank_size, seed=args.bank_seed)
-    state = train(cfg, bank=train_bank)
+    state = train(cfg, bank=train_bank, state=state,
+                  iterations=args.iterations if args.init_from else None)
     print(f"training done in {time.time()-t0:.0f}s", flush=True)
     ckpt_path = save_checkpoint(state, args.out)
     print(f"checkpoint: {ckpt_path}", flush=True)
