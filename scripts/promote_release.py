@@ -70,8 +70,11 @@ def main():
             if os.path.isfile(ema_p):
                 p = ema_p
         if os.path.isfile(p):
-            shutil.copy2(p, os.path.join(args.dest, name))
-            print(f"copied {name}" + (" (ema)" if p.endswith("_ema.npz") else ""))
+            dst = os.path.join(args.dest, name)
+            if os.path.abspath(p) != os.path.abspath(dst):
+                # in-place promotion (--run X --dest X) only adds release/
+                shutil.copy2(p, dst)
+                print(f"copied {name}" + (" (ema)" if p.endswith("_ema.npz") else ""))
 
     gm = os.path.join(args.dest, "golden_metrics.json")
     if os.path.isfile(gm):
