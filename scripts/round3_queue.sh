@@ -31,6 +31,16 @@ run ema_ft 7200 python scripts/finetune_adv.py --release checkpoints \
   --iterations 6000 --lr 1e-5 --adv-weight 1.0 --ema-decay 0.999 \
   --out checkpoints_augadv3ema
 
+# 1b. The OTHER no-GT+adv composition route (VERDICT missing #1): the
+#     from-scratch composed mint measured raw 19.8 dB held-out (adv from
+#     scratch costs ~5 dB vs plain no-GT's 24.5); the validated recovery
+#     route is adv as a FINE-TUNE on the no-GT base (supervised stays 0 —
+#     finetune_adv inherits the release config's loss weights)
+run nogt_promote 1200 python scripts/promote_release.py \
+  --run checkpoints_nogt --dest checkpoints_nogt
+run nogt_ft 7200 python scripts/finetune_adv.py --release checkpoints_nogt \
+  --iterations 6000 --lr 2e-5 --adv-weight 1.0 --out checkpoints_nogt_ft
+
 # 2. Oracle ceiling mint: train on ALL 100 golden digits, no held-out
 #    discipline (VERDICT #2: bound the architecture's achievable ceiling)
 run oracle 10800 python scripts/mint_checkpoint.py --iterations 40000 \
