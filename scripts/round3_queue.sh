@@ -62,9 +62,20 @@ run ultra_ft2 7200 python scripts/finetune_adv.py --release checkpoints_ultra3_f
   --iterations 6000 --lr 1e-5 --adv-weight 1.0 --out checkpoints_ultra3_ft2
 log "ultra chain done; promotion to checkpoints/ultra is a manual gate step"
 
-# 4. Experimental domains composed re-mint (rbc first - the weaker release):
+# 4. Trustworthy flagship per-op profile (VERDICT #4; rewritten method) —
+#    short + load-bearing, so it runs before the long domain mints
+run profile 3600 python scripts/exp_flagship_profile.py --batch 512
+
+# 5. decoder_ph int8 golden metrics (VERDICT #5 done-criterion)
+run phdec_promote 1200 python scripts/promote_release.py \
+  --run checkpoints_phdec --dest checkpoints_phdec
+run phdec_quant 3600 python scripts/calibrate_quant.py \
+  --ckpt checkpoints_phdec --eval
+
+# 6. Experimental domains composed re-mint (rbc first - the weaker release):
 #    augment mint (24k cosine, the validated domain recipe) + one 6k adv
-#    fine-tune via --init-from
+#    fine-tune via --init-from. These are the longest jobs; bead may be cut
+#    by round end - acceptable (rbc is the weaker shipped release).
 run rbc_mint 10800 python scripts/mint_domain_checkpoint.py --domain red_blood_cell \
   --iterations 24000 --rotate-deg 20 --elastic-px 2.5 --out checkpoints_rbc3
 run rbc_ft 7200 python scripts/mint_domain_checkpoint.py --domain red_blood_cell \
@@ -75,8 +86,5 @@ run bead_mint 10800 python scripts/mint_domain_checkpoint.py --domain polystyren
 run bead_ft 7200 python scripts/mint_domain_checkpoint.py --domain polystyrene \
   --iterations 6000 --lr 2e-5 --adv-weight 1.0 --rotate-deg 20 --elastic-px 2.5 \
   --init-from checkpoints_bead3 --out checkpoints_bead3_ft
-
-# 5. Trustworthy flagship per-op profile (VERDICT #4; rewritten method)
-run profile 3600 python scripts/exp_flagship_profile.py --batch 512
 
 log "QUEUE COMPLETE"
