@@ -62,6 +62,14 @@ _SLOW_TESTS = {
     "test_golden_eval_accepts_artifact_fn",     # 27s
     "test_bf16_step_runs_fp32_params",          # 25s
     "test_resume_adv_from_non_adv_state",       # 21s
+    # round-3 gate-budget reclaim (VERDICT #9): structural/aux coverage
+    # whose contracts the full suite still gates
+    "test_half_width_shapes",                   # 24s
+    "test_forward_shapes",                      # 23s (ablation autoencoder)
+    "test_train_step_updates_decoder_ph",       # 21s
+    "test_tracks_polyak_average",               # 18s
+    "test_no_gt_train_step_on_measured_batch",  # 17s
+    "test_forward",                             # 15s (ablation trivial-net)
 }
 
 
