@@ -36,7 +36,7 @@ run ema_ft 7200 python scripts/finetune_adv.py --release checkpoints \
 #     scratch costs ~5 dB vs plain no-GT's 24.5); the validated recovery
 #     route is adv as a FINE-TUNE on the no-GT base (supervised stays 0 —
 #     finetune_adv inherits the release config's loss weights)
-run nogt_promote 1200 python scripts/promote_release.py \
+run nogt_promote 1200 python scripts/promote_release.py --cpu \
   --run checkpoints_nogt --dest checkpoints_nogt
 run nogt_ft 7200 python scripts/finetune_adv.py --release checkpoints_nogt \
   --iterations 6000 --lr 2e-5 --adv-weight 1.0 --out checkpoints_nogt_ft
@@ -52,11 +52,11 @@ run oracle 10800 python scripts/mint_checkpoint.py --iterations 40000 \
 run ultra_mint 10800 python scripts/mint_checkpoint.py --width 0.25 \
   --iterations 40000 --batch-size 32 --train-encoder --distance-weight 20 \
   --rotate-deg 20 --elastic-px 2.5 --out checkpoints_ultra3
-run ultra_promote1 1200 python scripts/promote_release.py \
+run ultra_promote1 1200 python scripts/promote_release.py --cpu \
   --run checkpoints_ultra3 --dest checkpoints_ultra3
 run ultra_ft1 7200 python scripts/finetune_adv.py --release checkpoints_ultra3 \
   --iterations 6000 --lr 2e-5 --adv-weight 1.0 --out checkpoints_ultra3_ft1
-run ultra_promote2 1200 python scripts/promote_release.py \
+run ultra_promote2 1200 python scripts/promote_release.py --cpu \
   --run checkpoints_ultra3_ft1 --dest checkpoints_ultra3_ft1
 run ultra_ft2 7200 python scripts/finetune_adv.py --release checkpoints_ultra3_ft1 \
   --iterations 6000 --lr 1e-5 --adv-weight 1.0 --out checkpoints_ultra3_ft2
@@ -67,7 +67,7 @@ log "ultra chain done; promotion to checkpoints/ultra is a manual gate step"
 run profile 3600 python scripts/exp_flagship_profile.py --batch 512
 
 # 5. decoder_ph int8 golden metrics (VERDICT #5 done-criterion)
-run phdec_promote 1200 python scripts/promote_release.py \
+run phdec_promote 1200 python scripts/promote_release.py --cpu \
   --run checkpoints_phdec --dest checkpoints_phdec
 run phdec_quant 3600 python scripts/calibrate_quant.py \
   --ckpt checkpoints_phdec --eval
