@@ -222,6 +222,13 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from style_transfer_based_holographic_imaging_tpu.utils.transport import (
+            wait_for_tpu,
+        )
+
+        if not wait_for_tpu(1800.0):
+            raise SystemExit("remote TPU transport unavailable; aborting")
 
     if args.domain:
         run_domain(args.domain, args)
