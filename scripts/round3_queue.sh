@@ -62,6 +62,10 @@ run ultra_ft2 7200 python scripts/finetune_adv.py --release checkpoints_ultra3_f
   --iterations 6000 --lr 1e-5 --adv-weight 1.0 --out checkpoints_ultra3_ft2
 log "ultra chain done; promotion to checkpoints/ultra is a manual gate step"
 
+# 3b. Re-calibrate int8 scales for the round-3 EMA flagship promoted into
+#     checkpoints/ (the profile below must see the new weights + scales)
+run flagship_quant 3600 python scripts/calibrate_quant.py --eval
+
 # 4. Trustworthy flagship per-op profile (VERDICT #4; rewritten method) —
 #    short + load-bearing, so it runs before the long domain mints
 run profile 3600 python scripts/exp_flagship_profile.py --batch 512

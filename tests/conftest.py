@@ -65,6 +65,7 @@ _SLOW_TESTS = {
     # round-3 gate-budget reclaim (VERDICT #9): structural/aux coverage
     # whose contracts the full suite still gates
     "test_half_width_shapes",                   # 24s
+    "test_width_via_retrieval_fn",              # 22s
     "test_forward_shapes",                      # 23s (ablation autoencoder)
     "test_train_step_updates_decoder_ph",       # 21s
     "test_tracks_polyak_average",               # 18s
