@@ -41,6 +41,12 @@ run nogt_promote 1200 python scripts/promote_release.py --cpu \
 run nogt_ft 7200 python scripts/finetune_adv.py --release checkpoints_nogt \
   --iterations 6000 --lr 2e-5 --adv-weight 1.0 --out checkpoints_nogt_ft
 
+# Longer settle: 180s gaps re-wedged the lease at every job boundary
+# (measured in this queue's own log); a >6-min TRUE quiet window lets the
+# first probe succeed (CLAUDE.md transport facts). Redefined here so the
+# already-running bash picks it up when it reads this line.
+gap() { log "settle gap 420s"; sleep 420; }
+
 # 2. Oracle ceiling mint: train on ALL 100 golden digits, no held-out
 #    discipline (VERDICT #2: bound the architecture's achievable ceiling)
 run oracle 10800 python scripts/mint_checkpoint.py --iterations 40000 \
