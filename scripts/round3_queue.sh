@@ -53,6 +53,12 @@ run oracle 10800 python scripts/mint_checkpoint.py --iterations 40000 \
   --batch-size 32 --train-encoder --distance-weight 20 --bank golden-all \
   --out checkpoints_oracle
 
+# 2b. nogt_ft retry: the first attempt surrendered to a wedged lease
+#     (probe log /tmp/r3_nogt_ft.log); by now the oracle mint has cycled
+#     the transport
+run nogt_ft2 7200 python scripts/finetune_adv.py --release checkpoints_nogt \
+  --iterations 6000 --lr 2e-5 --adv-weight 1.0 --out checkpoints_nogt_ft
+
 # 3. Ultra tier composed re-mint (VERDICT #3): augment mint at width 0.25,
 #    then two adversarial fine-tune rounds, then promote + recalibrate
 run ultra_mint 10800 python scripts/mint_checkpoint.py --width 0.25 \
