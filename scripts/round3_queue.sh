@@ -59,6 +59,10 @@ run oracle 10800 python scripts/mint_checkpoint.py --iterations 40000 \
 run nogt_ft2 7200 python scripts/finetune_adv.py --release checkpoints_nogt \
   --iterations 6000 --lr 2e-5 --adv-weight 1.0 --out checkpoints_nogt_ft
 
+# 3b. Re-calibrate int8 scales for the round-3 EMA flagship promoted into
+#     checkpoints/ (the profile below must see the new weights + scales)
+run flagship_quant 3600 python scripts/calibrate_quant.py --eval
+
 # 3. Ultra tier composed re-mint (VERDICT #3): augment mint at width 0.25,
 #    then two adversarial fine-tune rounds, then promote + recalibrate
 run ultra_mint 10800 python scripts/mint_checkpoint.py --width 0.25 \
@@ -73,10 +77,6 @@ run ultra_promote2 1200 python scripts/promote_release.py --cpu \
 run ultra_ft2 7200 python scripts/finetune_adv.py --release checkpoints_ultra3_ft1 \
   --iterations 6000 --lr 1e-5 --adv-weight 1.0 --out checkpoints_ultra3_ft2
 log "ultra chain done; promotion to checkpoints/ultra is a manual gate step"
-
-# 3b. Re-calibrate int8 scales for the round-3 EMA flagship promoted into
-#     checkpoints/ (the profile below must see the new weights + scales)
-run flagship_quant 3600 python scripts/calibrate_quant.py --eval
 
 # 4. Trustworthy flagship per-op profile (VERDICT #4; rewritten method) —
 #    short + load-bearing, so it runs before the long domain mints
