@@ -82,6 +82,10 @@ log "ultra chain done; promotion to checkpoints/ultra is a manual gate step"
 #    short + load-bearing, so it runs before the long domain mints
 run profile 3600 python scripts/exp_flagship_profile.py --batch 512
 
+# 4b. Halo-exchanged row-block Mosaic conv (the un-attempted round-2
+#     route, VERDICT #4): measure vs XLA + the whole-image fused tail
+run halo_conv 3600 python scripts/exp_halo_conv.py --batch 256
+
 # 5. decoder_ph int8 golden metrics (VERDICT #5 done-criterion)
 run phdec_promote 1200 python scripts/promote_release.py --cpu \
   --run checkpoints_phdec --dest checkpoints_phdec
