@@ -96,11 +96,13 @@ run phdec_quant 3600 python scripts/calibrate_quant.py \
 #    augment mint (24k cosine, the validated domain recipe) + one 6k adv
 #    fine-tune via --init-from. These are the longest jobs; bead may be cut
 #    by round end - acceptable (rbc is the weaker shipped release).
+if [ "$(date +%s)" -gt 1787284200 ]; then log "deadline: skipping domain mints (leave the chip for the round-end bench)"; log "QUEUE COMPLETE"; exit 0; fi
 run rbc_mint 10800 python scripts/mint_domain_checkpoint.py --domain red_blood_cell \
   --iterations 24000 --rotate-deg 20 --elastic-px 2.5 --out checkpoints_rbc3
 run rbc_ft 7200 python scripts/mint_domain_checkpoint.py --domain red_blood_cell \
   --iterations 6000 --lr 2e-5 --adv-weight 1.0 --rotate-deg 20 --elastic-px 2.5 \
   --init-from checkpoints_rbc3 --out checkpoints_rbc3_ft
+if [ "$(date +%s)" -gt 1787286600 ]; then log "deadline: skipping bead (leave the chip for the round-end bench)"; log "QUEUE COMPLETE"; exit 0; fi
 run bead_mint 10800 python scripts/mint_domain_checkpoint.py --domain polystyrene \
   --iterations 24000 --rotate-deg 20 --elastic-px 2.5 --out checkpoints_bead3
 run bead_ft 7200 python scripts/mint_domain_checkpoint.py --domain polystyrene \
