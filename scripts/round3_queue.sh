@@ -92,6 +92,14 @@ run phdec_promote 1200 python scripts/promote_release.py --cpu \
 run phdec_quant 3600 python scripts/calibrate_quant.py \
   --ckpt checkpoints_phdec --eval
 
+# 5b. Oracle retry (the 00:10 attempt hung claiming the chip and was
+#     killed): 30k iters to fit the remaining window; skip if too late
+if [ "$(date +%s)" -gt 1787281800 ]; then log "deadline: skipping oracle retry"; else
+run oracle2 9000 python scripts/mint_checkpoint.py --iterations 30000 \
+  --batch-size 32 --train-encoder --distance-weight 20 --bank golden-all \
+  --out checkpoints_oracle
+fi
+
 # 6. Experimental domains composed re-mint (rbc first - the weaker release):
 #    augment mint (24k cosine, the validated domain recipe) + one 6k adv
 #    fine-tune via --init-from. These are the longest jobs; bead may be cut
