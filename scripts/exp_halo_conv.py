@@ -91,27 +91,38 @@ def main():
         return best / args.iters * 1e3
 
     base = timed(lambda xi: xi)
-    rows = {}
+    rows, errors = {}, {}
     rows["xla_tail"] = timed(lambda xi, *k: conv_tail_reference(xi, *k), *ks) - base
-    rows["fused_whole_image"] = (
-        timed(lambda xi, *k: fused_conv_tail(xi, *k), *ks) - base
-    )
-    for bh in bhs:
-        rows[f"halo_bh{bh}"] = (
-            timed(lambda xi, *k: halo_conv_tail(xi, *k, bh=bh), *ks) - base
+    try:
+        rows["fused_whole_image"] = (
+            timed(lambda xi, *k: fused_conv_tail(xi, *k), *ks) - base
         )
+    except Exception as e:  # noqa: BLE001 — record, keep measuring
+        errors["fused_whole_image"] = repr(e)[:300]
+    for bh in bhs:
+        try:
+            rows[f"halo_bh{bh}"] = (
+                timed(lambda xi, *k: halo_conv_tail(xi, *k, bh=bh), *ks) - base
+            )
+        except Exception as e:  # noqa: BLE001
+            errors[f"halo_bh{bh}"] = repr(e)[:300]
 
     # parity spot-check on device
-    ref = conv_tail_reference(x[:2], *ks)
-    out = halo_conv_tail(x[:2], *ks, bh=bhs[0])
-    err = float(
-        jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
-    )
+    err = None
+    try:
+        ref = conv_tail_reference(x[:2], *ks)
+        out = halo_conv_tail(x[:2], *ks, bh=bhs[0])
+        err = float(
+            jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
+        )
+    except Exception as e:  # noqa: BLE001
+        errors["parity"] = repr(e)[:300]
 
     print(json.dumps({
         "batch": b,
         "ms": {k: round(v, 3) for k, v in rows.items()},
         "parity_max_abs_vs_xla": err,
+        "errors": errors,
         "note": "3-conv decoder tail (128^2, C=64), bf16, scan-amortized",
     }))
 
