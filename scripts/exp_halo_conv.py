@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--bh", type=int, action="append", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
-    bhs = args.bh or [24, 30, 40, 60]
+    bhs = args.bh or [30, 60]
 
     import jax
 
