@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--out", type=str, default="checkpoints_adv")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the newest iter_* snapshot in --out "
+                         "(full two-player state: G + D params and both "
+                         "optimizers, plus EMA when present)")
     args = ap.parse_args()
 
     import jax
@@ -109,9 +113,28 @@ def main():
     # exactly what create_train_state expects.
     state = create_train_state(params, cfg.train, disc_params=disc_params)
 
+    iterations = args.iterations
+    if args.resume:
+        from style_transfer_based_holographic_imaging_tpu.train import (
+            latest_snapshot,
+        )
+        from style_transfer_based_holographic_imaging_tpu.train.state import (
+            restore_checkpoint,
+        )
+
+        snap = latest_snapshot(args.out)
+        if snap is None:
+            print("--resume: no iter_* snapshot found; starting fresh", flush=True)
+        else:
+            state = restore_checkpoint(snap, state)
+            # cfg.train.iterations is the schedule length; let train() run
+            # only the remaining steps past the restored absolute step.
+            iterations = None
+            print(f"resumed {snap} at step {int(state.step)}", flush=True)
+
     bank = mixed_digit_bank(load_golden_suite())
     t0 = time.time()
-    state = train(cfg, bank=bank, state=state, iterations=args.iterations)
+    state = train(cfg, bank=bank, state=state, iterations=iterations)
     print(f"fine-tune done in {time.time()-t0:.0f}s", flush=True)
     ckpt_path = save_checkpoint(state, args.out)
     print(f"checkpoint: {ckpt_path}", flush=True)

@@ -70,6 +70,12 @@ def main():
                     help="shape-diversity augmentation: elastic-warp "
                          "displacement amplitude in pixels")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the newest iter_* snapshot in --out "
+                         "(full train state: params + Adam moments + "
+                         "disc/EMA when present); the lr schedule and data "
+                         "stream align to the absolute step, so a resumed "
+                         "run finishes the remaining iterations")
     args = ap.parse_args()
 
     import jax
@@ -160,7 +166,42 @@ def main():
         )
 
         bank = mixed_digit_bank(load_golden_suite())
-    state = train(cfg, bank=bank)
+    state = None
+    if args.resume:
+        import jax.numpy as jnp
+
+        from style_transfer_based_holographic_imaging_tpu.models import (
+            PatchDiscriminator,
+            init_net_params,
+        )
+        from style_transfer_based_holographic_imaging_tpu.train import (
+            create_train_state,
+            latest_snapshot,
+        )
+        from style_transfer_based_holographic_imaging_tpu.train.state import (
+            restore_checkpoint,
+        )
+
+        snap = latest_snapshot(args.out)
+        if snap is None:
+            print("--resume: no iter_* snapshot found; starting fresh", flush=True)
+        else:
+            params = init_net_params(
+                jax.random.key(args.seed),
+                width=args.width,
+                with_phase_decoder=args.phase_decoder,
+            )
+            disc_params = None
+            if args.adv_weight:
+                disc = PatchDiscriminator(image_size=cfg.data.image_size)
+                disc_params = disc.init(
+                    jax.random.key(args.seed + 1),
+                    jnp.ones((1, cfg.data.image_size, cfg.data.image_size, 1)),
+                )
+            state = create_train_state(params, cfg.train, disc_params=disc_params)
+            state = restore_checkpoint(snap, state)
+            print(f"resumed {snap} at step {int(state.step)}", flush=True)
+    state = train(cfg, bank=bank, state=state)
     print(f"training done in {time.time()-t0:.0f}s", flush=True)
     ckpt_path = save_checkpoint(state, args.out)
     print(f"checkpoint: {ckpt_path}", flush=True)

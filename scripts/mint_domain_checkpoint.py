@@ -75,6 +75,10 @@ def main():
     ap.add_argument("--width", type=float, default=1.0,
                     help="fast-profile channel multiplier (1.0 = reference-exact)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the newest iter_* snapshot in --out "
+                         "(full train state; overrides --init-from when a "
+                         "snapshot exists)")
     args = ap.parse_args()
 
     import jax
@@ -147,7 +151,41 @@ def main():
         f.write(cfg.to_json())
 
     state = None
-    if args.init_from:
+    resumed = False
+    if args.resume:
+        import jax.numpy as jnp
+
+        from style_transfer_based_holographic_imaging_tpu.models import (
+            PatchDiscriminator,
+            init_net_params,
+        )
+        from style_transfer_based_holographic_imaging_tpu.train import (
+            create_train_state,
+            latest_snapshot,
+        )
+        from style_transfer_based_holographic_imaging_tpu.train.state import (
+            restore_checkpoint,
+        )
+
+        snap = latest_snapshot(args.out)
+        if snap is None:
+            print("--resume: no iter_* snapshot found; starting fresh", flush=True)
+        else:
+            params = init_net_params(
+                jax.random.key(cfg.data.seed), width=args.width
+            )
+            disc_params = None
+            if args.adv_weight:
+                disc = PatchDiscriminator(image_size=cfg.data.image_size)
+                disc_params = disc.init(
+                    jax.random.key(args.seed + 1),
+                    jnp.ones((1, cfg.data.image_size, cfg.data.image_size, 1)),
+                )
+            state = create_train_state(params, cfg.train, disc_params=disc_params)
+            state = restore_checkpoint(snap, state)
+            resumed = True
+            print(f"resumed {snap} at step {int(state.step)}", flush=True)
+    if args.init_from and not resumed:
         import jax.numpy as jnp
         import orbax.checkpoint as ocp
 
@@ -180,7 +218,7 @@ def main():
     t0 = time.time()
     train_bank = make_bank(n=args.bank_size, seed=args.bank_seed)
     state = train(cfg, bank=train_bank, state=state,
-                  iterations=args.iterations if args.init_from else None)
+                  iterations=args.iterations if (args.init_from and not resumed) else None)
     print(f"training done in {time.time()-t0:.0f}s", flush=True)
     ckpt_path = save_checkpoint(state, args.out)
     print(f"checkpoint: {ckpt_path}", flush=True)
