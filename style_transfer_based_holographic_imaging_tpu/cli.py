@@ -226,9 +226,51 @@ def cmd_eval(args):
 
     params = _load_params(args)
     style = _load_style(args)
-    goldens = load_golden_suite()
     cfg = _load_config(args) or ExperimentConfig()
     save_dir = os.path.join(args.save_dir, args.exp_name) if args.save_dir else None
+
+    if args.mat_root:
+        # Measured test-split protocol (reference Data_loader.py:143-179).
+        import dataclasses
+
+        from style_transfer_based_holographic_imaging_tpu.config import (
+            DOMAIN_PRESETS,
+        )
+        from style_transfer_based_holographic_imaging_tpu.pipelines.mat_eval import (
+            evaluate_mat_tree,
+        )
+
+        if args.domain:
+            cfg = DOMAIN_PRESETS[args.domain]()
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, image_size=args.image_size)
+        )
+        metrics = evaluate_mat_tree(
+            params,
+            args.mat_root,
+            cfg,
+            style,
+            domain=args.domain,
+            batch_size=args.batch_size,
+            refine_steps=args.refine,
+            refine_distance=args.refine_distance,
+            quant_scales=_load_quant_scales(args),
+        )
+        if "mean_psnr" in metrics:
+            print(f"Mean PSNR: {metrics['mean_psnr']:.4f}")
+            print(f"Mean MAE: {metrics['mean_mae']:.6f}")
+        print(f"R2 score: {metrics['r2']:.6f}")
+        print(f"Samples: {metrics['n_samples']} ({metrics['n_gt_scored']} GT-scored)")
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            with open(os.path.join(save_dir, "mat_eval_metrics.json"), "w") as f:
+                json.dump(metrics, f, indent=2)
+        if args.json:
+            keys = ("mean_psnr", "mean_mae", "r2", "n_samples", "n_gt_scored")
+            print(json.dumps({k: metrics[k] for k in keys if k in metrics}))
+        return metrics
+
+    goldens = load_golden_suite()
 
     import contextlib
 
@@ -317,6 +359,7 @@ def cmd_train(args):
             data=dataclasses.replace(
                 preset.data,
                 batch_size=args.batch_size,
+                image_size=args.image_size,
                 seed=args.seed,
                 rotate_deg=args.rotate_deg,
                 elastic_px=args.elastic_px,
@@ -328,6 +371,7 @@ def cmd_train(args):
             model=model_cfg,
             data=DataConfig(
                 batch_size=args.batch_size,
+                image_size=args.image_size,
                 seed=args.seed,
                 rotate_deg=args.rotate_deg,
                 elastic_px=args.elastic_px,
@@ -1169,6 +1213,19 @@ def main(argv=None):
     p.add_argument("--refine-distance", action="store_true",
                    help="also autofocus the predicted distance during "
                    "refinement (pipelines.refine refine_distance)")
+    p.add_argument("--mat-root", type=str, default=None,
+                   help="score a measured .mat TEST tree (with bundled "
+                        "gt_amplitude/gt_phase, the reference's test-split "
+                        "protocol — utils/Data_loader.py:143-179) instead "
+                        "of the golden suite; combine with --domain for "
+                        "the tree layout + physics preset")
+    p.add_argument("--domain", default=None, choices=sorted(set(
+        ("mnist", "polystyrene", "polystyrene_bead", "tissue",
+         "red_blood_cell", "rbc"))),
+                   help="experimental-domain preset for --mat-root")
+    p.add_argument("--batch-size", type=int, default=4,
+                   help="--mat-root eval batch size (fixed-shape program; "
+                        "tail batches pad by repetition)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("train", help="train on synthesized holograms")

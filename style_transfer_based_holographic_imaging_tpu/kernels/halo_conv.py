@@ -50,7 +50,12 @@ _HALO = 3          # one row per conv in the 3-deep chain
 _EDGE = 4          # top/bottom rows delegated to the XLA strips (>= _HALO,
                    # chosen so the interior row count divides into blocks)
 
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# Round-3 post-mortem: a 100 MB vmem_limit_bytes override — far beyond the
+# ~16 MB/core physical VMEM — made every TPU compile of this kernel die in
+# the Mosaic backend (tpu_compile_helper subprocess exit 1). Leave the
+# compiler's default limit in place; the per-step footprint at bh=30
+# (slab ~0.6 MB + conv temporaries + one out block) fits comfortably.
+_COMPILER_PARAMS = None
 
 
 def _reflect_pad_w(x: jax.Array) -> jax.Array:

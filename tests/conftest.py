@@ -71,6 +71,10 @@ _SLOW_TESTS = {
     "test_tracks_polyak_average",               # 18s
     "test_no_gt_train_step_on_measured_batch",  # 17s
     "test_forward",                             # 15s (ablation trivial-net)
+    # round-4 measured-data e2e (VERDICT r3 #7): full CLI chain + eval
+    # pipeline over the committed fixture tree
+    "test_mat_cli_e2e",                         # ~4 min (3 CLI subprocesses)
+    "test_mat_eval_pipeline_on_fixture",        # ~40s
 }
 
 
