@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--content-weight", type=float, default=1.0)
     ap.add_argument("--distance-weight", type=float, default=10.0)
     ap.add_argument("--adv-weight", type=float, default=0.0)
+    ap.add_argument("--perceptual-weight", type=float, default=0.0,
+                    help="VGG-feature (encoder-tap) supervised loss on the "
+                         "style-plane phase (stop-gradded extractor)")
     ap.add_argument("--ema-decay", type=float, default=0.0,
                     help="Polyak-average the generator params (e.g. 0.999); "
                          "the EMA weights are saved in the checkpoint and "
@@ -132,6 +135,7 @@ def main():
             content_weight=args.content_weight,
             distance_weight=args.distance_weight,
             adv_weight=args.adv_weight,
+            perceptual_weight=args.perceptual_weight,
             grad_accum=args.grad_accum,
             ema_decay=args.ema_decay,
             log_every=200,

@@ -340,6 +340,7 @@ def cmd_train(args):
         supervised_weight=args.supervised_weight,
         physics_weight=args.physics_weight,
         adv_weight=args.adv_weight,
+        perceptual_weight=args.perceptual_weight,
         distance_weight=args.distance_weight,
         content_weight=args.content_weight,
         style_weight=args.style_weight,
@@ -1261,6 +1262,9 @@ def main(argv=None):
     p.add_argument("--supervised-weight", type=float, default=10.0)
     p.add_argument("--physics-weight", type=float, default=10.0)
     p.add_argument("--adv-weight", type=float, default=0.0)
+    p.add_argument("--perceptual-weight", type=float, default=0.0,
+                   help="VGG-feature supervised loss weight "
+                        "(TrainConfig.perceptual_weight)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="micro-batches accumulated per optimizer step")
     p.add_argument("--ema-decay", type=float, default=0.0,

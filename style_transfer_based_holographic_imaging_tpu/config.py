@@ -122,6 +122,11 @@ class TrainConfig:
     physics_weight: float = 10.0
     distance_weight: float = 10.0
     supervised_weight: float = 10.0      # direct field supervision (synthetic data)
+    perceptual_weight: float = 0.0       # VGG-feature (encoder-tap) supervised
+                                         # loss on the style-plane phase; the
+                                         # feature extractor's params are
+                                         # stop-gradded so a trainable encoder
+                                         # cannot collapse to zero the term
     tv_weight: float = 0.0
     adv_weight: float = 0.0              # PatchGAN adversarial term
     use_dropout: bool = False

@@ -891,6 +891,12 @@ def make_pipeline_train_fn(
     )
     from style_transfer_based_holographic_imaging_tpu.ops import holo_forward
 
+    if getattr(cfg, "perceptual_weight", 0.0):
+        raise ValueError(
+            "perceptual_weight is not plumbed through the pipelined loss "
+            "program (it needs a 4th encoder pass); train with the DP/FSDP/TP "
+            "paths, or set perceptual_weight=0 for PP"
+        )
     lr = float(cfg.lr if lr is None else lr)
     packed, sharded, _stages, info = _build_pipeline(
         params, mesh, n_micro=n_micro, image_size=image_size, alpha=alpha,

@@ -145,7 +145,8 @@ def generator_loss_fn(
         loss = loss + cfg.distance_weight * l_d
         aux["loss_distance"] = l_d
 
-    if cfg.supervised_weight and "phase_content" in batch:
+    perceptual_weight = getattr(cfg, "perceptual_weight", 0.0)
+    if (cfg.supervised_weight or perceptual_weight) and "phase_content" in batch:
         # Ground-truth style-plane field of the content object — computable
         # for synthetic data by propagating the known object to d_style.
         gt_amp, gt_ph = holo_forward(
@@ -161,9 +162,33 @@ def generator_loss_fn(
         # units (retrieval multiplies by phase_normalize at refocus) —
         # compare in normalized units.
         gt_ph = jax.lax.stop_gradient(gt_ph) / physics.phase_normalize
-        l_sup = jnp.mean((amp_t - gt_amp) ** 2) + jnp.mean((ph_t - gt_ph) ** 2)
-        loss = loss + cfg.supervised_weight * l_sup
-        aux["loss_supervised"] = l_sup
+        if cfg.supervised_weight:
+            l_sup = jnp.mean((amp_t - gt_amp) ** 2) + jnp.mean((ph_t - gt_ph) ** 2)
+            loss = loss + cfg.supervised_weight * l_sup
+            aux["loss_supervised"] = l_sup
+        if perceptual_weight:
+            # VGG-feature (perceptual) supervision on the style-plane phase:
+            # L2 over the encoder's four taps. The feature extractor's
+            # params are stop-gradded — with a TRAINABLE encoder the term
+            # would otherwise be minimized by collapsing the features
+            # themselves; gradients flow only through the predicted phase.
+            frozen = jax.lax.stop_gradient(params)
+
+            def _feats(x_nchw):
+                return net.apply(
+                    frozen,
+                    _nhwc(x_nchw),
+                    method=StyleTransferNet.encode_with_intermediate,
+                )
+
+            l_perc = jnp.float32(0.0)
+            for f_p, f_g in zip(_feats(ph_t), _feats(gt_ph)):
+                l_perc = l_perc + jnp.mean(
+                    (f_p.astype(jnp.float32) - f_g.astype(jnp.float32)) ** 2
+                )
+            l_perc = l_perc / 4.0
+            loss = loss + perceptual_weight * l_perc
+            aux["loss_perceptual"] = l_perc
 
     if cfg.tv_weight:
         l_tv = tv_loss(ph_t)

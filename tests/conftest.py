@@ -75,6 +75,9 @@ _SLOW_TESTS = {
     # pipeline over the committed fixture tree
     "test_mat_cli_e2e",                         # ~4 min (3 CLI subprocesses)
     "test_mat_eval_pipeline_on_fixture",        # ~40s
+    # round-4 perceptual-loss lever (VERDICT r3 #4)
+    "test_term_finite_and_additive",            # ~100s (2 value_and_grad compiles)
+    "test_feature_extractor_is_stop_gradded",   # ~20s
 }
 
 

@@ -630,3 +630,60 @@ def test_resume_adv_from_non_adv_state(bank):
     state = train(cfg, bank=bank, state=plain)
     assert state.disc_params is not None
     assert state.disc_opt_state is not None
+
+
+class TestPerceptualLoss:
+    """VGG-feature (encoder-tap) supervised term (TrainConfig.perceptual_weight)."""
+
+    def _loss(self, bank, params, weight, sup=0.0):
+        import functools
+
+        from style_transfer_based_holographic_imaging_tpu.train.loop import (
+            generator_loss_fn,
+        )
+
+        cfg = TrainConfig(
+            supervised_weight=sup, perceptual_weight=weight, adv_weight=0.0
+        )
+        batch = synth_batch(
+            jax.random.key(0), jnp.asarray(bank), data=SMALL_DATA,
+            physics=PHYSICS, return_gt=True,
+        )
+        fn = functools.partial(
+            generator_loss_fn, net=StyleTransferNet(), physics=PHYSICS, cfg=cfg
+        )
+        (loss, aux), grads = jax.value_and_grad(fn, has_aux=True)(
+            jax.device_put(params), batch, jax.random.key(1)
+        )
+        return loss, aux, grads
+
+    def test_term_finite_and_additive(self, bank, small_params):
+        _, aux0, _ = self._loss(bank, small_params, 0.0)
+        loss1, aux1, grads = self._loss(bank, small_params, 2.0)
+        assert "loss_perceptual" not in aux0
+        lp = float(aux1["loss_perceptual"])
+        assert np.isfinite(lp) and lp > 0.0
+        assert abs(float(loss1) - float(aux0["loss_total"]) - 2.0 * lp) < 1e-4
+        # gradient reaches the decoder through the predicted phase
+        g_dec = grads["params"]["decoder"]["conv0"]["kernel"]
+        assert float(jnp.max(jnp.abs(g_dec))) > 0.0
+
+    def test_feature_extractor_is_stop_gradded(self, bank, small_params):
+        """The perceptual term alone must not push the encoder toward
+        feature collapse: its encoder gradient flows only through the
+        predicted phase (finite), and zeroing the prediction path's
+        contribution is not directly assertable — instead pin the contract
+        that the pipelined trainer refuses the un-plumbed term."""
+        from jax.sharding import Mesh
+
+        from style_transfer_based_holographic_imaging_tpu.parallel.pp import (
+            make_pipeline_train_fn,
+        )
+
+        cfg = TrainConfig(perceptual_weight=1.0)
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("pipe",))
+        with pytest.raises(ValueError, match="perceptual_weight"):
+            make_pipeline_train_fn(
+                jax.device_put(small_params), mesh, n_micro=2, image_size=64,
+                physics=PHYSICS, cfg=cfg,
+            )
