@@ -51,6 +51,7 @@ def main():
     )
     from style_transfer_based_holographic_imaging_tpu.kernels.halo_conv import (
         halo_conv_tail,
+        halo_conv_tail_static,
     )
     from style_transfer_based_holographic_imaging_tpu.train.state import (
         load_release_params,
@@ -106,12 +107,20 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             errors[f"halo_bh{bh}"] = repr(e)[:300]
+    for bh in bhs:
+        try:
+            rows[f"halo_static_bh{bh}"] = (
+                timed(lambda xi, *k: halo_conv_tail_static(xi, *k, bh=bh), *ks)
+                - base
+            )
+        except Exception as e:  # noqa: BLE001
+            errors[f"halo_static_bh{bh}"] = repr(e)[:300]
 
     # parity spot-check on device
     err = None
     try:
         ref = conv_tail_reference(x[:2], *ks)
-        out = halo_conv_tail(x[:2], *ks, bh=bhs[0])
+        out = halo_conv_tail_static(x[:2], *ks, bh=bhs[0])
         err = float(
             jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
         )

@@ -44,7 +44,7 @@ from style_transfer_based_holographic_imaging_tpu.utils.misc import (
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["halo_conv_tail"]
+__all__ = ["halo_conv_tail", "halo_conv_tail_static"]
 
 _HALO = 3          # one row per conv in the 3-deep chain
 _EDGE = 4          # top/bottom rows delegated to the XLA strips (>= _HALO,
@@ -170,6 +170,79 @@ def _halo_tail_impl(x, k8, b8, k9, b9, k10, b10, *, bh, interpret):
         x[:, h - strip_in :], k8, b8, k9, b9, k10, b10
     )[:, -_EDGE:]
     return jnp.concatenate([top, interior_out, bot], axis=1)
+
+
+def _halo_static_kernel(bh, n_blocks, x_ref, k8, b8, k9, b9, k10, b10, out_ref):
+    """Whole image in VMEM; the row-block loop is UNROLLED with Python-int
+    offsets so every slab slice is static — the formulation Mosaic compiles
+    (kernels/conv_stack.py pattern), avoiding the dynamic-offset manual DMA
+    that crashes the remote Mosaic compiler in `_halo_kernel`."""
+    x = x_ref[0]
+    for i in range(n_blocks):
+        start = _EDGE + i * bh - _HALO
+        slab = x[start : start + bh + 2 * _HALO]
+        out_ref[0, i * bh : (i + 1) * bh] = _tail_block(
+            slab, k8[...], b8[...], k9[...], b9[...], k10[...], b10[...]
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "interpret"))
+def _halo_tail_static_impl(x, k8, b8, k9, b9, k10, b10, *, bh, interpret):
+    b, h, w, c = x.shape
+    o = k10.shape[-1]
+    interior = h - 2 * _EDGE
+    assert interior % bh == 0, (h, bh)
+    n_blocks = interior // bh
+    dt = x.dtype
+    full = lambda *shape: pl.BlockSpec(
+        shape, lambda bi: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    inner = pl.pallas_call(
+        functools.partial(_halo_static_kernel, bh, n_blocks),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda bi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(*k8.shape),
+            full(*b8.shape),
+            full(*k9.shape),
+            full(*b9.shape),
+            full(*k10.shape),
+            full(*b10.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, interior, w, o), lambda bi: (bi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, interior, w, o), dt),
+        interpret=interpret,
+    )
+    interior_out = inner(x, k8, b8, k9, b9, k10, b10)
+    strip_in = _EDGE + 2 * _HALO
+    top = conv_tail_reference(
+        x[:, :strip_in], k8, b8, k9, b9, k10, b10
+    )[:, :_EDGE]
+    bot = conv_tail_reference(
+        x[:, h - strip_in :], k8, b8, k9, b9, k10, b10
+    )[:, -_EDGE:]
+    return jnp.concatenate([top, interior_out, bot], axis=1)
+
+
+def halo_conv_tail_static(
+    x, k8, b8, k9, b9, k10, b10, *, bh: int = 30, interpret: bool | None = None
+):
+    """Static-slice row-block variant of :func:`halo_conv_tail`: same edge
+    strategy, same per-slab math, but the whole image rides VMEM (2 MB at
+    128^2 x 64 bf16) and the block loop unrolls with static offsets instead
+    of dynamic-offset DMAs. Parity in tests/test_halo_conv.py."""
+    if interpret is None:
+        interpret = not is_tpu_platform()
+    dt = x.dtype
+    cast = lambda a: a.astype(dt)
+    return _halo_tail_static_impl(
+        x, cast(k8), b8, cast(k9), b9, cast(k10), b10, bh=bh,
+        interpret=interpret,
+    )
 
 
 def halo_conv_tail(

@@ -15,6 +15,7 @@ from style_transfer_based_holographic_imaging_tpu.kernels.conv_stack import (
 )
 from style_transfer_based_holographic_imaging_tpu.kernels.halo_conv import (
     halo_conv_tail,
+    halo_conv_tail_static,
 )
 
 
@@ -57,3 +58,15 @@ def test_halo_tail_rejects_bad_block():
     x = jnp.zeros((1, 56, 32, 8), jnp.float32)
     with pytest.raises(AssertionError):
         halo_conv_tail(x, *ks, bh=17, interpret=True)
+
+
+@pytest.mark.parametrize("bh", [8, 24])
+def test_halo_static_tail_matches_reference(bh):
+    """Static-slice (whole-image-VMEM, unrolled blocks) variant parity."""
+    c = 8
+    ks = _params(c=c)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 56, 32, c)).astype(np.float32))
+    ref = conv_tail_reference(x, *ks)
+    out = halo_conv_tail_static(x, *ks, bh=bh, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
