@@ -28,6 +28,12 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--bh", type=int, action="append", default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--harness", choices=("scan", "loop"), default="scan",
+                    help="scan = amortized in-graph repeats (2 ms dispatch "
+                         "floor removed); loop = N sequential dispatches "
+                         "(floor NOT removed but identical across rows — "
+                         "rankings valid; fallback when the remote Mosaic "
+                         "compile helper dies on the scanned program)")
     args = ap.parse_args()
     bhs = args.bh or [30, 60]
 
@@ -70,6 +76,19 @@ def main():
 
     def timed(f, *fargs):
         import functools
+
+        if args.harness == "loop":
+            fj = jax.jit(lambda xi, *k: jnp.sum(f(xi, *k).astype(jnp.float32)))
+            float(jax.device_get(fj(x, *fargs)))  # compile
+            best = float("inf")
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                acc = 0.0
+                for i in range(args.iters):
+                    xi = x * (1.0 + 1e-6 * i)
+                    acc += float(jax.device_get(fj(xi, *fargs)))
+                best = min(best, time.perf_counter() - t0)
+            return best / args.iters * 1e3
 
         @jax.jit
         def rep(x0, *rest):
