@@ -78,6 +78,18 @@ _SLOW_TESTS = {
     # round-4 perceptual-loss lever (VERDICT r3 #4)
     "test_term_finite_and_additive",            # ~100s (2 value_and_grad compiles)
     "test_feature_extractor_is_stop_gradded",   # ~20s
+    # round-4-end gate-budget reclaim: the post-restart VM runs ~45% slower
+    # (measured 13:31 for the same 243-test gate that took ~9 min on the
+    # round-3 host) — trim the in-gate tests whose contracts keep
+    # overlapping default-gate coverage; the full suite still runs all.
+    "test_shapes",                              # 45s (discriminator shapes)
+    "test_stream_mat_tree",                     # 38s (streaming: test_stream_retrieval_over_mat_tree + test_stream_with_refinement stay)
+    "test_gan_snapshot_into_plain_run",         # 29s (restore-direction: test_checkpoint_roundtrip stays)
+    "test_fp_fallback_matches_flax_modules",    # 29s (int8-vs-fp parity stays via test_int8_path_close_to_fp)
+    "test_no_skip_variant",                     # 22s (ablation variant)
+    "test_quant_path_serves_decoder_ph",        # 20s (test_pipeline_quant_phase_decoder_integration stays)
+    "test_golden_eval_smoke_with_decoder_ph",   # 14s (test_retrieval_autodetects_and_uses_decoder_ph stays)
+    "test_warp_preserves_range_and_mass",       # 13s (sibling warp determinism test stays)
 }
 
 
