@@ -32,6 +32,7 @@ __all__ = [
     "sklearn_digit_bank",
     "golden_digit_bank",
     "mixed_digit_bank",
+    "morphed_digit_bank",
     "GOLDEN_TRAIN_DIGITS",
     "GOLDEN_HELDOUT_BATCHES",
     "bead_bank",
@@ -129,6 +130,117 @@ def mixed_digit_bank(goldens, *, oversample: int = 36, size: int = 64) -> np.nda
     return np.concatenate(
         [sklearn_digit_bank(size), np.tile(golden, (oversample, 1, 1))], axis=0
     )
+
+
+def _morph_digit(
+    img: jax.Array,
+    key: jax.Array,
+    *,
+    rotate_deg: float,
+    scale_range: Tuple[float, float],
+    shear: float,
+    elastic_px: float,
+    elastic_cells: int,
+    thickness: float,
+) -> jax.Array:
+    """One random morph of an (S, S) digit: affine (rotation / anisotropic
+    scale / shear) + strong low-frequency elastic warp + a stroke-thickness
+    morph (lerp toward the 3x3 grayscale dilation or erosion).
+
+    Deliberately a STRONGER family than the in-training ``_shape_warp``
+    (which only rotates + mildly warps): morphs must create shape diversity
+    the runtime augmentation cannot already reach, or the bank-size lever
+    measures nothing.
+    """
+    s = img.shape[0]
+    k_rot, k_scale, k_shear, k_flow, k_thick = jax.random.split(key, 5)
+    grid = jnp.arange(s, dtype=jnp.float32)
+    yy, xx = jnp.meshgrid(grid, grid, indexing="ij")
+    c = (s - 1) / 2.0
+    theta = jax.random.uniform(
+        k_rot, (), minval=-rotate_deg, maxval=rotate_deg
+    ) * (jnp.pi / 180.0)
+    sy, sx = jax.random.uniform(
+        k_scale, (2,), minval=scale_range[0], maxval=scale_range[1]
+    )
+    sh = jax.random.uniform(k_shear, (), minval=-shear, maxval=shear)
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    # forward map A = R(theta) @ Shear(sh) @ diag(sy, sx); sample at A^-1 p
+    fwd = jnp.array([[cos_t, -sin_t], [sin_t, cos_t]]) @ jnp.array(
+        [[1.0, sh], [0.0, 1.0]]
+    ) @ jnp.diag(jnp.stack([sy, sx]))
+    inv = jnp.linalg.inv(fwd)
+    ys = inv[0, 0] * (yy - c) + inv[0, 1] * (xx - c) + c
+    xs = inv[1, 0] * (yy - c) + inv[1, 1] * (xx - c) + c
+    if elastic_px:
+        flow = jax.random.normal(k_flow, (2, elastic_cells, elastic_cells))
+        flow = jax.image.resize(flow, (2, s, s), method="cubic") * elastic_px
+        ys = ys + flow[0]
+        xs = xs + flow[1]
+    out = jax.scipy.ndimage.map_coordinates(
+        img, [ys, xs], order=1, mode="constant", cval=0.0
+    )
+    if thickness:
+        pads = ((1, 1), (1, 1))
+        dil = jax.lax.reduce_window(out, -jnp.inf, jax.lax.max, (3, 3), (1, 1), pads)
+        ero = jax.lax.reduce_window(out, jnp.inf, jax.lax.min, (3, 3), (1, 1), pads)
+        t = jax.random.uniform(k_thick, (), minval=-thickness, maxval=thickness)
+        out = jnp.where(
+            t >= 0.0, out * (1.0 - t) + dil * t, out * (1.0 + t) - ero * t
+        )
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def morphed_digit_bank(
+    base: np.ndarray,
+    n: int,
+    *,
+    seed: int = 0,
+    rotate_deg: float = 25.0,
+    scale_range: Tuple[float, float] = (0.8, 1.15),
+    shear: float = 0.2,
+    elastic_px: float = 5.0,
+    elastic_cells: int = 8,
+    thickness: float = 0.8,
+    batch: int = 1024,
+) -> np.ndarray:
+    """Expand a digit bank to ``n`` distinct shapes by random morphs of
+    ``base`` (plus the originals, kept verbatim at the front).
+
+    The bank-diversity lever: the reference trains on the full torchvision
+    MNIST train split — tens of thousands of distinct digits
+    (utils/Data_loader.py:14-15,26-29) — while this environment's bundled
+    banks top out at 1,847 base shapes. With no offline MNIST available,
+    diversity is manufactured by composing affine / strong-elastic /
+    stroke-thickness morphs (``_morph_digit``) of the bundled digits.
+    Deterministic in ``seed``; see scripts/make_big_bank.py.
+    """
+    base = np.asarray(base, np.float32)
+    if n <= len(base):
+        return base[:n]
+    n_new = n - len(base)
+    key = jax.random.PRNGKey(seed)
+    morph = functools.partial(
+        _morph_digit,
+        rotate_deg=rotate_deg,
+        scale_range=scale_range,
+        shear=shear,
+        elastic_px=elastic_px,
+        elastic_cells=elastic_cells,
+        thickness=thickness,
+    )
+    run = jax.jit(jax.vmap(morph))
+    base_j = jnp.asarray(base)
+    chunks = [base]
+    done = 0
+    while done < n_new:
+        b = min(batch, n_new - done)
+        key, k_idx, k_morph = jax.random.split(key, 3)
+        idx = jax.random.randint(k_idx, (batch,), 0, base_j.shape[0])
+        out = run(base_j[idx], jax.random.split(k_morph, batch))
+        chunks.append(np.asarray(out[:b]))
+        done += b
+    return np.concatenate(chunks, axis=0)
 
 
 def _shape_warp(

@@ -382,3 +382,31 @@ def test_load_digit_bank_formats(tmp_path):
 
     with pytest.raises(ValueError):
         load_digit_bank(str(p3))
+
+
+def test_morphed_digit_bank():
+    """The bank-diversity lever (scripts/make_big_bank.py): morphs keep the
+    originals verbatim at the front, produce distinct in-range shapes, and
+    are deterministic in the seed."""
+    import numpy as np
+
+    from style_transfer_based_holographic_imaging_tpu.data.synth import (
+        morphed_digit_bank,
+        sklearn_digit_bank,
+    )
+
+    base = sklearn_digit_bank()[:16]
+    out = morphed_digit_bank(base, 48, seed=7, batch=32)
+    assert out.shape == (48, 64, 64)
+    assert out.dtype == np.float32
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    np.testing.assert_array_equal(out[:16], base)
+    # morphs are new shapes, not copies, and not empty
+    morphs = out[16:]
+    assert (morphs > 0.2).mean(axis=(1, 2)).min() > 0.005
+    dists = np.abs(morphs[:, None] - base[None]).mean(axis=(2, 3)).min(axis=1)
+    assert (dists > 1e-3).all()
+    again = morphed_digit_bank(base, 48, seed=7, batch=32)
+    np.testing.assert_array_equal(out, again)
+    # n <= len(base) short-circuits
+    np.testing.assert_array_equal(morphed_digit_bank(base, 8), base[:8])
