@@ -599,3 +599,57 @@ def test_with_phase_decoder_materializes_and_runs(rng):
         variables, holo, sm, ss, method=StyleTransferNet.field_retrieval
     )
     assert amp.shape == phase.shape == (1, 32, 32, 1)
+
+
+class TestReceptiveField:
+    """utils/misc.receptive_field vs the reference's backward-recursion
+    calculator (utils/functions.py:130-194), ported as a tiny oracle."""
+
+    @staticmethod
+    def _oracle_input_rf(layers):
+        # conv1d_r (functions.py:130-135): r_in = r_out*s + max(k - s, 0),
+        # folded from the last layer back to the input as
+        # receptive_field_calculator's loop does (functions.py:171-181).
+        r = 1
+        for k, s in reversed(list(layers)):
+            r = r * s + max(k - s, 0)
+        return r
+
+    def test_matches_reference_recursion(self):
+        from style_transfer_based_holographic_imaging_tpu.utils.misc import (
+            receptive_field,
+        )
+
+        # Parity holds for kernel >= stride (every layer in the reference's
+        # models). For kernel < stride the reference's max(k-s, 0) clamp
+        # OVERESTIMATES the true span ((r_out-1)*s + k) by s-k; our forward
+        # accumulation is exact there, so such stacks are excluded.
+        rng = np.random.default_rng(0)
+        for _ in range(50):
+            n = int(rng.integers(1, 8))
+            layers = []
+            for _ in range(n):
+                s = int(rng.integers(1, 4))
+                layers.append((int(rng.integers(s, 8)), s))
+            got = receptive_field(layers)
+            assert len(got) == n
+            for i in range(n):
+                assert got[i] == self._oracle_input_rf(layers[: i + 1])
+
+    def test_vgg_relu4_1_receptive_field(self):
+        """The encoder's relu4-1 tap (the AdaIN feature plane) sees 68x68
+        input pixels — the number the reference's dev tool prints for the
+        net.py:76-107 stack up to relu4-1."""
+        from style_transfer_based_holographic_imaging_tpu.utils.misc import (
+            receptive_field,
+        )
+
+        # (kernel, stride) input-first: 1x1 stem, conv1_1..1_2, pool,
+        # conv2_1..2_2, pool, conv3_1..3_4, pool, conv4_1 (net.py:77-107).
+        vgg_to_relu4_1 = (
+            [(1, 1), (3, 1), (3, 1), (2, 2), (3, 1), (3, 1), (2, 2)]
+            + [(3, 1)] * 4
+            + [(2, 2), (3, 1)]
+        )
+        rf = receptive_field(vgg_to_relu4_1)
+        assert rf[-1] == self._oracle_input_rf(vgg_to_relu4_1) == 68

@@ -230,7 +230,8 @@ def test_pipeline_retrieval_matches_single_device():
         ("ph_field", 1e-5),
         ("distance_pred", 1e-5),
         ("amp_foc", 1e-5),
-        ("ph_foc", 2e-3),  # DCT unwrap amplifies tiny field deltas
+        ("ph_foc", 2e-3),  # phase = angle(near-zero field) amplifies fp32 noise;
+        # unsharded jit-vs-eager alone measures 2.8e-4 (see __graft_entry__)
     ):
         np.testing.assert_allclose(
             np.asarray(out[key]), np.asarray(single[key]), atol=atol, err_msg=key
@@ -646,7 +647,7 @@ def test_pipeline_retrieval_phase_decoder_matches_single_device():
         ("ph_field", 1e-5),
         ("distance_pred", 1e-5),
         ("amp_foc", 1e-5),
-        ("ph_foc", 2e-3),
+        ("ph_foc", 2e-3),  # see the ph_foc tolerance note above
     ):
         np.testing.assert_allclose(
             np.asarray(out[key]), np.asarray(single[key]), atol=atol,
