@@ -66,11 +66,11 @@ _SLOW_TESTS = {
     # whose contracts the full suite still gates
     "test_half_width_shapes",                   # 24s
     "test_width_via_retrieval_fn",              # 22s
-    "test_forward_shapes",                      # 23s (ablation autoencoder)
+    "test_ablations.py::test_forward_shapes",   # 23s (ablation autoencoder)
     "test_train_step_updates_decoder_ph",       # 21s
     "test_tracks_polyak_average",               # 18s
     "test_no_gt_train_step_on_measured_batch",  # 17s
-    "test_forward",                             # 15s (ablation trivial-net)
+    "test_ablations.py::test_forward",          # 15s (ablation trivial-net)
     # round-4 measured-data e2e (VERDICT r3 #7): full CLI chain + eval
     # pipeline over the committed fixture tree
     "test_mat_cli_e2e",                         # ~4 min (3 CLI subprocesses)
@@ -82,7 +82,7 @@ _SLOW_TESTS = {
     # (measured 13:31 for the same 243-test gate that took ~9 min on the
     # round-3 host) — trim the in-gate tests whose contracts keep
     # overlapping default-gate coverage; the full suite still runs all.
-    "test_shapes",                              # 45s (discriminator shapes)
+    "test_models.py::test_shapes",              # 45s (discriminator shapes)
     "test_stream_mat_tree",                     # 38s (streaming: test_stream_retrieval_over_mat_tree + test_stream_with_refinement stay)
     "test_gan_snapshot_into_plain_run",         # 29s (restore-direction: test_checkpoint_roundtrip stays)
     "test_fp_fallback_matches_flax_modules",    # 29s (int8-vs-fp parity stays via test_int8_path_close_to_fp)
@@ -97,7 +97,11 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         fname = os.path.basename(str(item.fspath))
         base = item.name.split("[")[0]
-        if fname in _SLOW_FILES or base in _SLOW_TESTS:
+        if (
+            fname in _SLOW_FILES
+            or base in _SLOW_TESTS
+            or f"{fname}::{base}" in _SLOW_TESTS
+        ):
             item.add_marker(pytest.mark.slow)
 
 
