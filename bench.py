@@ -13,6 +13,15 @@ the reference on its own hardware (RTX4090, torch fp32/TF32): the model is
 ~19.6 GFLOP/image (VGG-to-relu4_1 ~8.9 G + decoder ~10.7 G at 128^2); at a
 generous 40 TFLOP/s sustained that is ~2000 holograms/s. The BASELINE.json
 north star (>= 10x RTX4090 on v5e-1) therefore maps to >= 20000 holo/s.
+
+Measured anchor (round 5, scripts/bench_reference_torch.py): the actual
+torch reference end-to-end on this host's single CPU core runs 3.96 holo/s
+(batch 5, unwrap excluded — favoring the reference), an implied 77.6
+effective GFLOP/s, a plausible ~40-70% of one AVX-512 core's practical conv
+ceiling — so the 19.6 GFLOP/image model is not underestimating the
+reference's work. Scaling that measured rate by the ~500x effective-FLOPs
+ratio of an RTX4090 (~40 TFLOP/s sustained on conv stacks) reproduces the
+~2000 holo/s estimate; see BASELINE.md "Measured denominator anchor".
 """
 
 import json
