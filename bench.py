@@ -318,6 +318,96 @@ def main():
             print(f"frozen-artifact round skipped: {e}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — a missing tier must not kill the bench
         print(f"ultra-release round skipped: {e}", file=sys.stderr)
+
+    # Round 6 (the round-5 joint gate): the NORTH-STAR tier — the fastest
+    # shipped artifact that meets BOTH halves of BASELINE.json's north star
+    # at once (held-out raw >= 33 dB AND R2 >= 0.999 AND >= 20,000 holo/s =
+    # 10x the measured-anchored RTX4090 estimate). A qualified artifact
+    # takes the headline over a faster-but-below-bar one (VERDICT r4 #1:
+    # "the joint claim is only defensible if one artifact carries both").
+    try:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        from style_transfer_based_holographic_imaging_tpu.config import (
+            ExperimentConfig,
+        )
+        from style_transfer_based_holographic_imaging_tpu.models.quant import (
+            load_scales,
+        )
+
+        ns_dir = "checkpoints/fast"
+        with open(os.path.join(ns_dir, "config.json")) as f:
+            ns_cfg = ExperimentConfig.from_json(f.read())
+        with open(os.path.join(ns_dir, "golden_metrics.json")) as f:
+            ns_fp = json.load(f)
+        ns_q = {}
+        try:
+            with open(os.path.join(ns_dir, "quant_golden_metrics.json")) as f:
+                ns_q = json.load(f)
+        except OSError:
+            pass
+        # Official quality = the int8 serving path's own held-out numbers
+        # when recorded (calibrate_quant round-5+ writes them); fp held-out
+        # otherwise (int8 has measured quality-neutral on every tier).
+        hq_psnr = ns_q.get("heldout_mean_psnr", ns_fp.get("heldout_mean_psnr"))
+        hq_r2 = ns_q.get("heldout_r2", ns_fp.get("heldout_r2"))
+        quality_ok = (
+            hq_psnr is not None
+            and hq_r2 is not None
+            and hq_psnr >= 33.0
+            and hq_r2 >= 0.999
+        )
+        ns_params = jax.device_put(
+            ocp.StandardCheckpointer().restore(
+                os.path.abspath(os.path.join(ns_dir, "release"))
+            )["params"]
+        )
+        ns_sv = np.load(os.path.join(ns_dir, "style_vector.npz"))
+        ns_scales = load_scales(os.path.join(ns_dir, "quant_scales.json"))
+        fn_ns = make_retrieval_fn(
+            physics,
+            dtype=jnp.bfloat16,
+            width=ns_cfg.model.width,
+            quant_scales=ns_scales,
+        )
+        rng_ns = np.random.default_rng(0)
+        ns_best, ns_batch = 0.0, 0
+        for b_n in (256, 512, 1024):
+            holo = jnp.asarray(
+                rng_ns.random((b_n, 1, 128, 128), np.float32) * 0.6 + 0.05
+            )
+            got = _time_fn(
+                fn_ns,
+                (ns_params, holo, jnp.asarray(ns_sv["mean"]),
+                 jnp.asarray(ns_sv["std"]), 0.2),
+                b_n,
+            )
+            print(
+                f"north-star tier (width {ns_cfg.model.width}, int8) "
+                f"b={b_n}: {got:.1f} holo/s",
+                file=sys.stderr,
+            )
+            if got > ns_best:
+                ns_best, ns_batch = got, b_n
+        print(
+            f"north-star tier best b={ns_batch}: {ns_best:.1f} holo/s "
+            f"[held-out {hq_psnr} dB / R2 {hq_r2}; joint-gate "
+            f"{'MET' if quality_ok and ns_best >= 20000.0 else 'not met'}]",
+            file=sys.stderr,
+        )
+        if quality_ok and ns_best >= 20000.0:
+            headline = ns_best
+            headline_label = (
+                f"north-star tier checkpoints/fast, width {ns_cfg.model.width},"
+                f" int8, batch {ns_batch}; held-out {hq_psnr:.2f} dB / "
+                f"R2 {hq_r2:.4f}; meets the JOINT north star "
+                f"(>=33 dB held-out, R2 >= 0.999, >= 10x RTX4090), "
+                f"regression-gated"
+            )
+    except Exception as e:  # noqa: BLE001 — a missing tier must not kill the bench
+        print(f"north-star-tier round skipped: {e}", file=sys.stderr)
     asm.set_asm_backend("xla")
 
     baseline = 2000.0  # estimated torch reference on RTX4090 (see docstring)

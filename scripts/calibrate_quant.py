@@ -81,7 +81,11 @@ def run_one(ckpt, args, goldens):
             dtype=jnp.bfloat16,
             quant_scales=scales,
         )
-        keys = ("mean_psnr", "mean_mae", "r2")
+        # heldout_* is the official gate half (docs/QUALITY.md) — record it
+        # for the int8 path too so serving headlines can quote it directly.
+        keys = ("mean_psnr", "mean_mae", "r2",
+                "heldout_mean_psnr", "heldout_mean_mae", "heldout_r2")
+        keys = tuple(k for k in keys if k in m_q)
         print(f"[{ckpt}] QUANT_EVAL " + json.dumps({k: m_q[k] for k in keys}))
         rec_path = os.path.join(ckpt, "golden_metrics.json")
         rec = {}
