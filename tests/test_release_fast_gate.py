@@ -150,3 +150,52 @@ def test_release_reproduces_recorded_batch_metrics(
         atol=3.0,
         err_msg=f"{name}: distance predictions drifted from recorded µm values",
     )
+
+
+DOMAINS = [
+    # (tag, bank builder name, release, style, config, recorded metrics)
+    ("bead", "bead_bank"),
+    ("rbc", "rbc_bank"),
+]
+
+
+@pytest.mark.parametrize("tag,bank_name", DOMAINS, ids=[d[0] for d in DOMAINS])
+def test_domain_release_reproduces_recorded_batch_metrics(tag, bank_name):
+    """One-batch regression gate for the experimental-domain releases
+    (checkpoints/{bead,rbc}_release), replaying batch 0 of the recorded
+    synthetic eval protocol ('batch 32 x 10, seed 7777, bank seed 7919' —
+    scripts/mint_domain_checkpoint.py) against the recorded per-batch PSNR."""
+    release = os.path.join(REPO, "checkpoints", f"{tag}_release")
+    if not os.path.isdir(release):
+        pytest.skip(f"no {tag} release promoted")
+
+    import dataclasses
+
+    from style_transfer_based_holographic_imaging_tpu.config import ExperimentConfig
+    from style_transfer_based_holographic_imaging_tpu.data import synth
+    from style_transfer_based_holographic_imaging_tpu.pipelines.domain_eval import (
+        evaluate_synth_domain,
+    )
+    from style_transfer_based_holographic_imaging_tpu.train import (
+        load_release_params,
+    )
+
+    with open(os.path.join(REPO, "checkpoints", f"{tag}_config.json")) as f:
+        cfg = ExperimentConfig.from_json(f.read())
+    cfg = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, batch_size=32))
+    with open(os.path.join(REPO, "checkpoints", f"{tag}_domain_metrics.json")) as f:
+        rec = json.load(f)
+
+    params = load_release_params(release, width=cfg.model.width)
+    sv = np.load(os.path.join(REPO, "checkpoints", f"{tag}_style_vector.npz"))
+    bank = getattr(synth, bank_name)(n=512, seed=7919)
+
+    got = evaluate_synth_domain(
+        params, cfg, bank, (sv["mean"], sv["std"]), n_batches=1, seed=7777
+    )
+    want = rec["psnr_per_batch"][0]
+    assert abs(got["mean_psnr"] - want) < 0.3, (
+        f"{tag}: eval batch 0 PSNR {got['mean_psnr']:.2f} dB vs recorded "
+        f"{want:.2f} dB — promoted domain release no longer reproduces its "
+        f"own {tag}_domain_metrics.json"
+    )
