@@ -93,6 +93,7 @@ _SLOW_TESTS = {
     # round-5 budget reclaim for the new in-gate fast release gate (~45s):
     "test_stream_empty_tree_errors",            # 38s (error path; stream happy paths stay in-gate)
     "test_morphed_digit_bank",                  # 20s (bank lever; built+used in anger by make_big_bank)
+    "test_evaluate_synth_domain",               # 19s (the bead/rbc one-batch release gates now run evaluate_synth_domain e2e in-gate)
 }
 
 
