@@ -76,6 +76,41 @@ def main():
                 shutil.copy2(p, dst)
                 print(f"copied {name}" + (" (ema)" if p.endswith("_ema.npz") else ""))
 
+    if args.ema:
+        # The run's golden_metrics.json describes its RAW weights (mint/ft
+        # scripts record ema_* summary keys only). The shipped metrics —
+        # including the per-batch lists the fast release gate
+        # (tests/test_release_fast_gate.py) replays — must describe the
+        # shipped (EMA) params, so re-run the golden eval here.
+        import numpy as np
+
+        from style_transfer_based_holographic_imaging_tpu.config import (
+            ExperimentConfig,
+        )
+        from style_transfer_based_holographic_imaging_tpu.data import (
+            load_golden_suite,
+        )
+        from style_transfer_based_holographic_imaging_tpu.pipelines import (
+            evaluate_golden_suite,
+        )
+
+        with open(os.path.join(args.dest, "config.json")) as f:
+            cfg = ExperimentConfig.from_json(f.read())
+        sv = np.load(os.path.join(args.dest, "style_vector.npz"))
+        metrics = evaluate_golden_suite(
+            release_params,
+            load_golden_suite(),
+            cfg,
+            style_override=(sv["mean"], sv["std"]),
+        )
+        metrics["note"] = (
+            "EMA (Polyak) params promoted; metrics re-evaluated from the "
+            "shipped EMA weights at promotion time (raw-weight metrics live "
+            "in the run directory)"
+        )
+        with open(os.path.join(args.dest, "golden_metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=1)
+
     gm = os.path.join(args.dest, "golden_metrics.json")
     if os.path.isfile(gm):
         with open(gm) as f:
