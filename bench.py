@@ -391,10 +391,19 @@ def main():
             )
             if got > ns_best:
                 ns_best, ns_batch = got, b_n
+        ref_psnr = ns_fp.get("refined_heldout_mean_psnr")
         print(
             f"north-star tier best b={ns_batch}: {ns_best:.1f} holo/s "
-            f"[held-out {hq_psnr} dB / R2 {hq_r2}; joint-gate "
-            f"{'MET' if quality_ok and ns_best >= 20000.0 else 'not met'}]",
+            f"[held-out {hq_psnr} dB / R2 {hq_r2}; raw joint-gate "
+            f"{'MET' if quality_ok and ns_best >= 20000.0 else 'not met'}"
+            + (
+                f"; refined {ref_psnr:.1f} dB held-out -> ORIGINAL north star "
+                f"(>=40 dB refined mode + >=10x) "
+                f"{'MET' if ref_psnr >= 40.0 and ns_best >= 20000.0 else 'not met'}"
+                if ref_psnr is not None
+                else ""
+            )
+            + "]",
             file=sys.stderr,
         )
         if quality_ok and ns_best >= 20000.0:
